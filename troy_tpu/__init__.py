@@ -1,0 +1,25 @@
+"""troy_tpu — a TPU-native homomorphic encryption framework.
+
+A from-scratch JAX/XLA/Pallas implementation of the BFV, BGV and CKKS RLWE
+schemes with Microsoft-SEAL-compatible semantics (capability reference:
+lightbulb128/troy). Ciphertexts, plaintexts and keys are pytrees of uint64
+device arrays; every modulus and precomputed Barrett/Shoup constant is baked
+statically into the traced computation.
+"""
+
+import jax as _jax
+
+# The whole framework computes on uint64 arrays (XLA emulates 64-bit integer
+# arithmetic with uint32 pairs on TPU). This must be set before any array is
+# created, hence at package import.
+_jax.config.update("jax_enable_x64", True)
+
+from .modulus import (  # noqa: E402
+    Modulus, CoeffModulus, PlainModulus, SecurityLevel,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Modulus", "CoeffModulus", "PlainModulus", "SecurityLevel",
+]

@@ -17,9 +17,29 @@ _jax.config.update("jax_enable_x64", True)
 from .modulus import (  # noqa: E402
     Modulus, CoeffModulus, PlainModulus, SecurityLevel,
 )
+from .params import (  # noqa: E402
+    EncryptionParameters, SchemeType, ParmsID,
+)
+from .context import HeContext, ContextData  # noqa: E402
+from .he_types import (  # noqa: E402
+    Plaintext, Ciphertext, SecretKey, PublicKey,
+    KSwitchKeys, RelinKeys, GaloisKeys,
+)
+from .keygen import KeyGenerator  # noqa: E402
+from .encryptor import Encryptor  # noqa: E402
+from .decryptor import Decryptor  # noqa: E402
+from .encoder import BatchEncoder  # noqa: E402
+from .ckks import CKKSEncoder  # noqa: E402
+from .evaluator import Evaluator  # noqa: E402
 
 __version__ = "0.1.0"
 
 __all__ = [
     "Modulus", "CoeffModulus", "PlainModulus", "SecurityLevel",
+    "EncryptionParameters", "SchemeType", "ParmsID",
+    "HeContext", "ContextData",
+    "Plaintext", "Ciphertext", "SecretKey", "PublicKey",
+    "KSwitchKeys", "RelinKeys", "GaloisKeys",
+    "KeyGenerator", "Encryptor", "Decryptor", "BatchEncoder", "CKKSEncoder",
+    "Evaluator",
 ]

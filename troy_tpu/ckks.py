@@ -1,0 +1,175 @@
+"""CKKSEncoder: canonical-embedding encoding of complex vectors.
+
+Semantics-compatible with the reference's CKKS encoder
+(reference: src/ckks.h:97, src/ckks.cpp:91-579 and the GPU complex-FFT
+path src/ckks_cuda.cu:103-454): N/2 complex slots map onto the odd powers
+of the 2N-th root of unity through the 3^i orbit (so slot rotations are the
+same Galois automorphisms the batch encoder uses), conjugate symmetry makes
+the inverse embedding real, and coefficients are scaled, rounded exactly,
+and decomposed into RNS.
+
+Host/device split: the complex FFT runs on host numpy (complex128 — the
+same double precision the reference's FFT uses); the RNS lift and the final
+NTT run on device. Rounded coefficients can exceed 64 bits (scale * value
+up to Q/2), so the lift goes through exact Python integers.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+from .context import HeContext, ContextData
+from .he_types import Plaintext
+from .params import SchemeType
+from .ops import ntt as dntt
+from .utils import numth
+
+
+class CKKSEncoder:
+    """(ckks.h:97)"""
+
+    def __init__(self, context: HeContext):
+        if context.scheme != SchemeType.ckks:
+            raise ValueError("CKKSEncoder requires a CKKS context")
+        self.context = context
+        self.n = context.n
+        self.slots = self.n // 2
+
+        # slot i <-> evaluation point zeta^(3^i): natural index j = (3^i-1)/2
+        # (ckks.cpp matrix_reps_index_map analogue, natural-order variant)
+        n = self.n
+        m = 2 * n
+        idx = np.zeros(self.slots, dtype=np.int64)
+        pos = 1
+        for i in range(self.slots):
+            idx[i] = (pos - 1) >> 1
+            pos = (pos * 3) % m
+        self._slot_index = idx
+        # zeta^k twist factors: evaluation at odd powers via length-n FFT
+        k = np.arange(n)
+        self._twist = np.exp(1j * np.pi * k / n)        # zeta^k
+        self._untwist = np.exp(-1j * np.pi * k / n)
+
+    @property
+    def slot_count(self) -> int:
+        return self.slots
+
+    # ---- encode (ckks.cpp encode_internal) ----
+    def encode(self, values: Union[Sequence[complex], np.ndarray],
+               scale: float, level: Optional[int] = None) -> Plaintext:
+        ctx = self.context
+        if level is None:
+            level = ctx.first_level
+        cd = ctx.get_context_data(level)
+        values = np.asarray(values, dtype=np.complex128)
+        if values.ndim != 1 or len(values) > self.slots:
+            raise ValueError("too many slot values")
+        n = self.n
+
+        # scatter into conjugate-symmetric evaluation vector
+        V = np.zeros(n, dtype=np.complex128)
+        j = self._slot_index[:len(values)]
+        V[j] = values
+        V[n - 1 - j] = np.conj(values)
+
+        # invert the embedding: coeffs = untwist(FFT(V)/n)
+        u = np.fft.fft(V) / n
+        coeffs = (u * self._untwist).real * scale
+
+        if np.max(np.abs(coeffs), initial=0.0) >= cd.total_coeff_modulus / 2:
+            raise ValueError("encoded values are too large for the "
+                             "coefficient modulus at this level")
+
+        # exact rounding + RNS decomposition (handles >64-bit magnitudes)
+        ints = [int(round(float(c))) for c in coeffs]
+        rns = np.zeros((cd.limbs, n), dtype=np.uint64)
+        for i, q in enumerate(cd.coeff_values):
+            rns[i] = np.array([c % q for c in ints], dtype=np.uint64)
+
+        data = dntt.rns_ntt_forward(jnp.asarray(rns), cd.ntt)
+        return Plaintext(data=data, level=level, is_ntt_form=True,
+                         scale=scale)
+
+    def encode_constant(self, value: Union[float, complex], scale: float,
+                        level: Optional[int] = None) -> Plaintext:
+        """Encode one number into every slot — a constant polynomial
+        (ckks_cuda.cu:636,749 double/int64 constant encodes)."""
+        if isinstance(value, complex) and value.imag != 0:
+            return self.encode(np.full(self.slots, value), scale, level)
+        ctx = self.context
+        if level is None:
+            level = ctx.first_level
+        cd = ctx.get_context_data(level)
+        v = int(round(float(value) * scale))
+        if abs(v) >= cd.total_coeff_modulus / 2:
+            raise ValueError("value too large")
+        rns = np.zeros((cd.limbs, self.n), dtype=np.uint64)
+        for i, q in enumerate(cd.coeff_values):
+            rns[i, 0] = v % q
+        # a constant is NTT-invariant only in value; transform properly
+        data = dntt.rns_ntt_forward(jnp.asarray(rns), cd.ntt)
+        return Plaintext(data=data, level=level, is_ntt_form=True,
+                         scale=scale)
+
+    def encode_int64(self, value: int,
+                     level: Optional[int] = None) -> Plaintext:
+        """Integer constant at scale 1 (exact; ckks.cpp int64 encode)."""
+        return self.encode_constant(float(value), 1.0, level)
+
+    # ---- troy extension: raw real coefficients (ckks_cuda.cu:455) ----
+    def encode_polynomial(self, coeffs: Union[Sequence[float], np.ndarray],
+                          scale: float,
+                          level: Optional[int] = None) -> Plaintext:
+        ctx = self.context
+        if level is None:
+            level = ctx.first_level
+        cd = ctx.get_context_data(level)
+        coeffs = np.asarray(coeffs, dtype=np.float64)
+        if len(coeffs) > self.n:
+            raise ValueError("too many coefficients")
+        ints = [int(round(float(c) * scale)) for c in coeffs]
+        ints += [0] * (self.n - len(ints))
+        rns = np.zeros((cd.limbs, self.n), dtype=np.uint64)
+        for i, q in enumerate(cd.coeff_values):
+            rns[i] = np.array([c % q for c in ints], dtype=np.uint64)
+        data = dntt.rns_ntt_forward(jnp.asarray(rns), cd.ntt)
+        return Plaintext(data=data, level=level, is_ntt_form=True,
+                         scale=scale)
+
+    # ---- decode (ckks.cpp decode_internal) ----
+    def _compose_centered(self, plain: Plaintext) -> np.ndarray:
+        """RNS -> centered big-int coefficients (host CRT compose)."""
+        cd = self.context.get_context_data(plain.level)
+        coeffs_rns = np.asarray(dntt.rns_ntt_inverse(plain.data, cd.ntt))
+        base = cd.rns_tool.base_q
+        Q = cd.total_coeff_modulus
+        k = cd.limbs
+        invs = [base.inv_punctured(i) for i in range(k)]
+        pps = [base.punctured_prod(i) for i in range(k)]
+        qs = list(base.values)
+        out = np.zeros(self.n, dtype=np.float64)
+        half = Q // 2
+        for c in range(self.n):
+            acc = 0
+            for i in range(k):
+                acc += (int(coeffs_rns[i, c]) * invs[i] % qs[i]) * pps[i]
+            acc %= Q
+            if acc > half:
+                acc -= Q
+            out[c] = float(acc)
+        return out
+
+    def decode(self, plain: Plaintext) -> np.ndarray:
+        if not plain.is_ntt_form or plain.level is None:
+            raise ValueError("CKKS decode expects an NTT-form plaintext")
+        coeffs = self._compose_centered(plain) / plain.scale
+        V = np.fft.ifft(coeffs * self._twist) * self.n
+        return V[self._slot_index]
+
+    def decode_polynomial(self, plain: Plaintext,
+                          count: Optional[int] = None) -> np.ndarray:
+        coeffs = self._compose_centered(plain) / plain.scale
+        return coeffs if count is None else coeffs[:count]

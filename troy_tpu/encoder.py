@@ -1,0 +1,103 @@
+"""BatchEncoder: BFV/BGV SIMD slot encoding.
+
+Semantics-compatible with the reference's batch encoder
+(reference: src/batchencoder.h:48, src/batchencoder.cpp:67-241,
+src/batchencoder_cuda.cu:27-118): the 2x(N/2) slot matrix maps onto NTT
+evaluation points through the bit-reversed 3^i orbit index map, then an
+inverse NTT over the plain modulus produces coefficients.
+
+TPU-native: the index map is a host-precomputed gather/scatter table; both
+encode and decode are a single device gather plus one NTT.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+import numpy as np
+import jax.numpy as jnp
+
+from .context import HeContext
+from .he_types import Plaintext
+from .ops import ntt as dntt
+from .utils import numth
+
+
+class BatchEncoder:
+    """(batchencoder.h:48)"""
+
+    def __init__(self, context: HeContext):
+        cd = context.first_context_data
+        if not cd.qualifiers.using_batching:
+            raise ValueError("batching requires plain_modulus = 1 mod 2N")
+        self.context = context
+        self.n = cd.n
+        self.plain_modulus = int(cd.plain_modulus)
+        self._tables = context.plain_ntt
+
+        # matrix_reps_index_map (batchencoder.cpp:67-82): slot i of row 0 sits
+        # at eval index brv((3^i - 1)/2); row 1 mirrors through -3^i.
+        n = self.n
+        log_n = numth.get_power_of_two(n)
+        m = 2 * n
+        index_map = np.zeros(n, dtype=np.int64)
+        pos = 1
+        for i in range(n // 2):
+            index_map[i] = numth.reverse_bits((pos - 1) >> 1, log_n)
+            index_map[n // 2 + i] = numth.reverse_bits((m - pos - 1) >> 1, log_n)
+            pos = (pos * 3) % m
+        self._index_map = jnp.asarray(index_map)
+
+    @property
+    def slot_count(self) -> int:
+        return self.n
+
+    def encode(self, values: Union[Sequence[int], np.ndarray]) -> Plaintext:
+        """Unsigned slot values (mod t) -> coefficient plaintext."""
+        values = np.asarray(values, dtype=np.uint64)
+        if values.ndim != 1 or len(values) > self.n:
+            raise ValueError("too many slot values")
+        t = self.plain_modulus
+        if (values >= t).any():
+            values = values % t
+        evals = jnp.zeros(self.n, dtype=jnp.uint64)
+        evals = evals.at[self._index_map[:len(values)]].set(
+            jnp.asarray(values))
+        coeffs = dntt.ntt_inverse(evals, self._tables)
+        return Plaintext(data=coeffs)
+
+    def encode_signed(self, values: Union[Sequence[int], np.ndarray]) -> Plaintext:
+        """Signed slot values, centered mod t."""
+        values = np.asarray(values, dtype=np.int64)
+        t = self.plain_modulus
+        return self.encode((values % t).astype(np.uint64))
+
+    def decode(self, plain: Plaintext) -> np.ndarray:
+        """Coefficient plaintext -> unsigned slot values."""
+        if plain.is_ntt_form:
+            raise ValueError("cannot decode an NTT-form plaintext")
+        data = plain.data
+        if data.shape[-1] < self.n:
+            data = jnp.pad(data, (0, self.n - data.shape[-1]))
+        evals = dntt.ntt_forward(data, self._tables)
+        slots = jnp.take(evals, self._index_map)
+        return np.asarray(slots)
+
+    def decode_signed(self, plain: Plaintext) -> np.ndarray:
+        vals = self.decode(plain).astype(np.int64)
+        t = self.plain_modulus
+        return np.where(vals >= (t + 1) // 2, vals - t, vals)
+
+    # ---- troy extension: raw coefficient (non-SIMD) encoding
+    # (batchencoder_cuda.cuh:65-75 encodePolynomial) ----
+    def encode_polynomial(self, values: Union[Sequence[int], np.ndarray]) -> Plaintext:
+        values = np.asarray(values, dtype=np.uint64) % self.plain_modulus
+        if len(values) > self.n:
+            raise ValueError("too many coefficients")
+        data = np.zeros(self.n, dtype=np.uint64)
+        data[:len(values)] = values
+        return Plaintext(data=jnp.asarray(data))
+
+    def decode_polynomial(self, plain: Plaintext, count: int = None) -> np.ndarray:
+        out = np.asarray(plain.data)
+        return out if count is None else out[:count]

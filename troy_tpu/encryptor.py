@@ -1,0 +1,107 @@
+"""Encryptor: public-key (asymmetric) and secret-key (symmetric) encryption.
+
+Semantics-compatible with the reference's encryptor
+(reference: src/encryptor.h:45, src/encryptor.cpp,
+src/encryptor_cuda.cu:92-236):
+  * BFV: zero encryption in coefficient form + Delta*m scaling-variant embed;
+  * CKKS: zero encryption in NTT form + NTT-form plaintext added to c0;
+  * BGV: zero encryption in NTT form + centered plain lift, NTT'd, added.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from .context import HeContext, ContextData
+from .he_types import Ciphertext, Plaintext, PublicKey, SecretKey
+from .params import SchemeType
+from . import prng as rnd
+from . import rlwe
+from .ops import ntt as dntt
+from .ops import poly as dpoly
+
+
+class Encryptor:
+    """(encryptor.h:45)"""
+
+    def __init__(self, context: HeContext,
+                 public_key: Optional[PublicKey] = None,
+                 secret_key: Optional[SecretKey] = None,
+                 seed: Optional[bytes] = None):
+        if public_key is None and secret_key is None:
+            raise ValueError("need a public or secret key")
+        self.context = context
+        self._pk = public_key
+        self._sk = secret_key
+        self._prng = rnd.RandomGeneratorFactory.default_factory().create(seed)
+
+    # ---- public API (encryptor.h:123-394 analogues) ----
+    def encrypt(self, plain: Plaintext) -> Ciphertext:
+        return self._encrypt_internal(plain, asymmetric=True, save_seed=False)
+
+    def encrypt_symmetric(self, plain: Plaintext,
+                          save_seed: bool = False) -> Ciphertext:
+        return self._encrypt_internal(plain, asymmetric=False,
+                                      save_seed=save_seed)
+
+    def encrypt_zero(self, level: Optional[int] = None,
+                     asymmetric: bool = True,
+                     save_seed: bool = False) -> Ciphertext:
+        cd = self._level_cd(level)
+        is_ntt = self.context.scheme in (SchemeType.ckks, SchemeType.bgv)
+        return self._zero(cd, is_ntt, asymmetric, save_seed)
+
+    # ---- internals ----
+    def _level_cd(self, level: Optional[int]) -> ContextData:
+        if level is None:
+            return self.context.first_context_data
+        return self.context.get_context_data(level)
+
+    def _zero(self, cd: ContextData, is_ntt_form: bool, asymmetric: bool,
+              save_seed: bool) -> Ciphertext:
+        if asymmetric:
+            if self._pk is None:
+                raise ValueError("no public key set")
+            return rlwe.encrypt_zero_asymmetric(
+                cd, self._pk, self._prng, is_ntt_form)
+        if self._sk is None:
+            raise ValueError("no secret key set")
+        return rlwe.encrypt_zero_symmetric(
+            cd, self._sk, self._prng, is_ntt_form, save_seed)
+
+    def _encrypt_internal(self, plain: Plaintext, asymmetric: bool,
+                          save_seed: bool) -> Ciphertext:
+        scheme = self.context.scheme
+        if scheme == SchemeType.bfv:
+            if plain.is_ntt_form:
+                raise ValueError("BFV plaintext must be in coefficient form")
+            cd = self.context.first_context_data
+            ct = self._zero(cd, False, asymmetric, save_seed)
+            # c0 += round(Q/t * m)  (encryptor.cpp multiplyAddPlainWithScalingVariant)
+            c0 = dpoly.bfv_multiply_add_plain(
+                plain.data, ct.data[0],
+                int(cd.plain_modulus), cd.coeff_modulus_mod_plain_modulus,
+                cd.coeff_div_plain_modulus, cd.ntt)
+            return ct.replace(data=ct.data.at[0].set(c0))
+
+        if scheme == SchemeType.ckks:
+            if not plain.is_ntt_form or plain.level is None:
+                raise ValueError("CKKS plaintext must be NTT form at a level")
+            cd = self.context.get_context_data(plain.level)
+            ct = self._zero(cd, True, asymmetric, save_seed)
+            c0 = dpoly.rns_add(ct.data[0], plain.data, cd.ntt)
+            return ct.replace(data=ct.data.at[0].set(c0), scale=plain.scale)
+
+        if scheme == SchemeType.bgv:
+            if plain.is_ntt_form:
+                raise ValueError("BGV plaintext must be in coefficient form")
+            cd = self.context.first_context_data
+            ct = self._zero(cd, True, asymmetric, save_seed)
+            lifted = dpoly.plain_lift(
+                plain.data, cd.ntt, int(cd.plain_modulus),
+                cd.plain_upper_half_threshold, cd.total_coeff_modulus)
+            m_ntt = dntt.rns_ntt_forward(lifted, cd.ntt)
+            c0 = dpoly.rns_add(ct.data[0], m_ntt, cd.ntt)
+            return ct.replace(data=ct.data.at[0].set(c0))
+
+        raise ValueError("unsupported scheme")

@@ -1,0 +1,131 @@
+"""Key generation: secret/public keys, relinearization and Galois keys.
+
+Semantics-compatible with the reference's key generator
+(reference: src/keygenerator.h:27, src/keygenerator.cpp:122-368 and the
+upload pattern of src/keygenerator_cuda.cuh:51-85; switching-key
+decomposition at keygenerator.cpp:294-338).
+
+Key-switching keys use the dense TPU layout (decomp, 2, key_limbs, n): the
+j-th decomposition ciphertext is a fresh symmetric zero encryption over the
+full key base whose c0 gets P*w (P = the special prime) added on limb j
+only — exactly the reference's per-prime decomposition, laid out for the
+key-switch einsum.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import jax.numpy as jnp
+
+from .context import HeContext, ContextData
+from .he_types import SecretKey, PublicKey, KSwitchKeys, RelinKeys, GaloisKeys
+from . import prng as rnd
+from . import rlwe
+from .ops import ntt as dntt
+from .ops import rns as drns
+from .ops import u64ops as u
+from .utils import galois as galois_util
+
+
+class KeyGenerator:
+    """(keygenerator.h:27)"""
+
+    def __init__(self, context: HeContext,
+                 secret_key: Optional[SecretKey] = None,
+                 seed: Optional[bytes] = None):
+        self.context = context
+        self._prng = rnd.RandomGeneratorFactory.default_factory().create(seed)
+        if secret_key is not None:
+            self._secret_key = secret_key
+        else:
+            self._secret_key = self._generate_sk()
+        # cached NTT-domain powers of s over the key base: powers[p] = s^p
+        self._sk_powers: Dict[int, jnp.ndarray] = {1: self._secret_key.data}
+
+    # ---- secret key (keygenerator.cpp generateSk) ----
+    def _generate_sk(self) -> SecretKey:
+        cd = self.context.key_context_data
+        s = rnd.sample_poly_ternary(self._prng, cd.n)
+        s_rns = jnp.asarray(rnd.centered_to_rns(s, cd.coeff_values))
+        s_ntt = dntt.rns_ntt_forward(s_rns, cd.ntt)
+        return SecretKey(data=s_ntt)
+
+    @property
+    def secret_key(self) -> SecretKey:
+        return self._secret_key
+
+    # ---- public key (keygenerator.cpp generatePk) ----
+    def create_public_key(self, save_seed: bool = False) -> PublicKey:
+        cd = self.context.key_context_data
+        ct = rlwe.encrypt_zero_symmetric(
+            cd, self._secret_key, self._prng, is_ntt_form=True,
+            save_seed=save_seed)
+        return PublicKey(data=ct.data, seed=ct.seed)
+
+    # ---- secret key powers (keygenerator.cpp computeSecretKeyArray:234) ----
+    def _sk_power(self, p: int) -> jnp.ndarray:
+        if p not in self._sk_powers:
+            cd = self.context.key_context_data
+            prev = self._sk_power(p - 1)
+            self._sk_powers[p] = dntt.rns_dyadic_mul(
+                prev, self._secret_key.data, cd.ntt)
+        return self._sk_powers[p]
+
+    # ---- generic switching key (keygenerator.cpp:294-338) ----
+    def _generate_one_kswitch_key(self, w_ntt: jnp.ndarray) -> jnp.ndarray:
+        """w_ntt: (>=decomp, n) NTT-form target over the key base prefix.
+        Returns the dense key array (decomp, 2, key_limbs, n)."""
+        ctx = self.context
+        if not ctx.using_keyswitching:
+            raise ValueError("parameters do not support keyswitching "
+                             "(need >= 2 coefficient moduli)")
+        key_cd = ctx.key_context_data
+        key_values = key_cd.coeff_values
+        decomp = len(key_values) - 1
+        p_special = key_values[-1]
+
+        rows = []
+        for j in range(decomp):
+            ct = rlwe.encrypt_zero_symmetric(
+                key_cd, self._secret_key, self._prng, is_ntt_form=True)
+            qj = key_values[j]
+            factor = p_special % qj
+            term = drns.smul(w_ntt[j], factor, qj)
+            c0 = ct.data[0].at[j].set(
+                u.add_mod(ct.data[0][j], term, qj))
+            rows.append(jnp.stack([c0, ct.data[1]]))
+        return jnp.stack(rows)          # (decomp, 2, key_limbs, n)
+
+    # ---- relinearization keys (keygenerator.cpp:122) ----
+    def create_relin_keys(self, count: int = 1) -> RelinKeys:
+        if count < 1 or count > 14:  # SEAL_CIPHERTEXT_SIZE_MAX - 2
+            raise ValueError("invalid count")
+        keys = {}
+        for p in range(2, count + 2):
+            keys[p] = self._generate_one_kswitch_key(self._sk_power(p))
+        return RelinKeys(keys=keys)
+
+    # ---- Galois keys (keygenerator.cpp:162, createAutomorphismKeys) ----
+    def create_galois_keys(self, steps: Optional[Sequence[int]] = None,
+                           elts: Optional[Sequence[int]] = None) -> GaloisKeys:
+        ctx = self.context
+        n = ctx.n
+        if elts is None:
+            if steps is not None:
+                elts = galois_util.get_elts_from_steps(n, steps)
+            else:
+                elts = galois_util.get_elts_all(n)
+        key_cd = ctx.key_context_data
+        keys = {}
+        sk = self._secret_key.data                 # (key_limbs, n) NTT
+        for elt in elts:
+            perm = jnp.asarray(galois_util.ntt_permutation(n, elt))
+            rotated = jnp.take(sk, perm, axis=-1)  # s(x^elt) in NTT order
+            keys[int(elt)] = self._generate_one_kswitch_key(rotated)
+        return GaloisKeys(keys=keys)
+
+    # ---- key-switching key for an external old secret key
+    # (keygenerator.h createKeySwitchingKey; used by external ksk protocols)
+    def create_keyswitch_key(self, old_sk: SecretKey) -> KSwitchKeys:
+        return KSwitchKeys(keys={1: self._generate_one_kswitch_key(old_sk.data)})

@@ -7,14 +7,17 @@ rounds of reshaped elementwise ops that XLA fuses; values ride the lazy
 Harvey bounds ([0, 4q) between rounds) exactly like the reference, with a
 single final reduction pass.
 
-Works on arrays of shape (..., n); leading axes (RNS limbs, ciphertext
-components, batch) are free.
+Two table flavors:
+  * ``NttTables`` — one modulus; transforms act on (..., n).
+  * ``RnsNttTables`` — a stacked RNS base: per-limb root tables (k, n) and
+    per-limb moduli broadcast as (k, 1) arrays, so one trace covers every
+    limb of a ciphertext at once; transforms act on (..., k, n).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Sequence, Tuple
 
 import numpy as np
 import jax
@@ -22,7 +25,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from . import u64ops as u
-from ..utils.ntt_tables import NttTablesHost
+from ..utils.ntt_tables import NttTablesHost, make_ntt_tables
 
 U64 = jnp.uint64
 
@@ -56,6 +59,107 @@ class NttTables(struct.PyTreeNode):
             inv_degree_shoup=h.inv_degree_shoup,
         )
 
+
+class RnsNttTables(struct.PyTreeNode):
+    """Stacked NTT tables for a whole RNS base (k limbs, one shared n).
+
+    Every per-limb constant is a (k,) device array so a single traced
+    transform serves all limbs; the raw modulus values stay available as a
+    static tuple for ops that need per-limb Python ints.
+    """
+
+    root_powers: jnp.ndarray           # (k, n)
+    root_powers_shoup: jnp.ndarray     # (k, n)
+    inv_root_powers: jnp.ndarray       # (k, n)
+    inv_root_powers_shoup: jnp.ndarray # (k, n)
+    q: jnp.ndarray                     # (k,) moduli
+    cr_hi: jnp.ndarray                 # (k,) Barrett ratio high word
+    cr_lo: jnp.ndarray                 # (k,) Barrett ratio low word
+    inv_degree: jnp.ndarray            # (k,)
+    inv_degree_shoup: jnp.ndarray      # (k,)
+    n: int = struct.field(pytree_node=False)
+    log_n: int = struct.field(pytree_node=False)
+    values: Tuple[int, ...] = struct.field(pytree_node=False)
+
+    @classmethod
+    def from_moduli(cls, n: int, moduli: Sequence[int]) -> "RnsNttTables":
+        hosts = [make_ntt_tables(n, int(q)) for q in moduli]
+        as_u64 = lambda vals: jnp.asarray(
+            np.array([v & 0xFFFFFFFFFFFFFFFF for v in vals], dtype=np.uint64))
+        return cls(
+            root_powers=jnp.stack([jnp.asarray(h.root_powers) for h in hosts]),
+            root_powers_shoup=jnp.stack(
+                [jnp.asarray(h.root_powers_shoup) for h in hosts]),
+            inv_root_powers=jnp.stack(
+                [jnp.asarray(h.inv_root_powers) for h in hosts]),
+            inv_root_powers_shoup=jnp.stack(
+                [jnp.asarray(h.inv_root_powers_shoup) for h in hosts]),
+            q=as_u64([h.modulus for h in hosts]),
+            cr_hi=as_u64([h.const_ratio[1] for h in hosts]),
+            cr_lo=as_u64([h.const_ratio[0] for h in hosts]),
+            inv_degree=as_u64([h.inv_degree for h in hosts]),
+            inv_degree_shoup=as_u64([h.inv_degree_shoup for h in hosts]),
+            n=n,
+            log_n=hosts[0].log_n,
+            values=tuple(h.modulus for h in hosts),
+        )
+
+    @property
+    def k(self) -> int:
+        return len(self.values)
+
+    def limb(self, i: int) -> NttTables:
+        """Single-modulus view of limb i (static modulus)."""
+        h = make_ntt_tables(self.n, self.values[i])
+        return NttTables(
+            root_powers=self.root_powers[i],
+            root_powers_shoup=self.root_powers_shoup[i],
+            inv_root_powers=self.inv_root_powers[i],
+            inv_root_powers_shoup=self.inv_root_powers_shoup[i],
+            n=self.n, log_n=self.log_n, modulus=h.modulus,
+            const_ratio=h.const_ratio, inv_degree=h.inv_degree,
+            inv_degree_shoup=h.inv_degree_shoup,
+        )
+
+    def select(self, indices: Sequence[int]) -> "RnsNttTables":
+        """Sub-base view over an arbitrary (static) limb index set — e.g. the
+        key-switch working base {q_0..q_{k-1}, p_special}."""
+        idx = jnp.asarray(np.array(indices, dtype=np.int32))
+        take = lambda a: jnp.take(a, idx, axis=0)
+        return RnsNttTables(
+            root_powers=take(self.root_powers),
+            root_powers_shoup=take(self.root_powers_shoup),
+            inv_root_powers=take(self.inv_root_powers),
+            inv_root_powers_shoup=take(self.inv_root_powers_shoup),
+            q=take(self.q),
+            cr_hi=take(self.cr_hi),
+            cr_lo=take(self.cr_lo),
+            inv_degree=take(self.inv_degree),
+            inv_degree_shoup=take(self.inv_degree_shoup),
+            n=self.n, log_n=self.log_n,
+            values=tuple(self.values[i] for i in indices),
+        )
+
+    def slice(self, start: int, stop: int) -> "RnsNttTables":
+        """Sub-base view over limbs [start, stop)."""
+        return RnsNttTables(
+            root_powers=self.root_powers[start:stop],
+            root_powers_shoup=self.root_powers_shoup[start:stop],
+            inv_root_powers=self.inv_root_powers[start:stop],
+            inv_root_powers_shoup=self.inv_root_powers_shoup[start:stop],
+            q=self.q[start:stop],
+            cr_hi=self.cr_hi[start:stop],
+            cr_lo=self.cr_lo[start:stop],
+            inv_degree=self.inv_degree[start:stop],
+            inv_degree_shoup=self.inv_degree_shoup[start:stop],
+            n=self.n, log_n=self.log_n,
+            values=self.values[start:stop],
+        )
+
+
+# --------------------------------------------------------------------------
+# Single-modulus transforms (static modulus).
+# --------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnames=("lazy",))
 def ntt_forward(x: jnp.ndarray, t: NttTables, lazy: bool = False) -> jnp.ndarray:
@@ -133,3 +237,90 @@ def negacyclic_mul(a: jnp.ndarray, b: jnp.ndarray, t: NttTables) -> jnp.ndarray:
     fa = ntt_forward(a, t)
     fb = ntt_forward(b, t)
     return ntt_inverse(dyadic_mul(fa, fb, t), t)
+
+
+# --------------------------------------------------------------------------
+# RNS-stacked transforms: x has shape (..., k, n); per-limb constants
+# broadcast from (k,) arrays. One trace serves the whole base.
+# --------------------------------------------------------------------------
+
+def _bshape(t: RnsNttTables, lead_len: int, m: int) -> Tuple[int, ...]:
+    return (1,) * lead_len + (t.k, m, 1)
+
+
+@partial(jax.jit, static_argnames=("lazy",))
+def rns_ntt_forward(x: jnp.ndarray, t: RnsNttTables,
+                    lazy: bool = False) -> jnp.ndarray:
+    """Forward NTT of every limb: (..., k, n) -> (..., k, n)."""
+    n = t.n
+    lead = x.shape[:-2]
+    L = len(lead)
+    q = t.q.reshape((1,) * L + (t.k, 1, 1))
+    q2 = q * jnp.uint64(2)
+    v = x
+    for r in range(t.log_n):
+        m = 1 << r
+        gap = n >> (r + 1)
+        w = jax.lax.dynamic_slice_in_dim(t.root_powers, m, m, axis=1)
+        wq = jax.lax.dynamic_slice_in_dim(t.root_powers_shoup, m, m, axis=1)
+        w = w.reshape(_bshape(t, L, m))
+        wq = wq.reshape(_bshape(t, L, m))
+        v = v.reshape(lead + (t.k, m, 2, gap))
+        a = v[..., 0, :]
+        b = v[..., 1, :]
+        a = jnp.where(a >= q2, a - q2, a)
+        bw = b * w - u.mulhi64(b, wq) * q              # Shoup lazy, [0, 2q)
+        v = jnp.stack([a + bw, a - bw + q2], axis=-2)
+        v = v.reshape(lead + (t.k, n))
+    if not lazy:
+        qn = t.q.reshape((1,) * L + (t.k, 1))
+        v = jnp.where(v >= qn * jnp.uint64(2), v - qn * jnp.uint64(2), v)
+        v = jnp.where(v >= qn, v - qn, v)
+    return v
+
+
+@partial(jax.jit, static_argnames=("lazy",))
+def rns_ntt_inverse(x: jnp.ndarray, t: RnsNttTables,
+                    lazy: bool = False) -> jnp.ndarray:
+    """Inverse NTT of every limb: (..., k, n) -> (..., k, n), including the
+    n^{-1} scaling."""
+    n = t.n
+    lead = x.shape[:-2]
+    L = len(lead)
+    q = t.q.reshape((1,) * L + (t.k, 1, 1))
+    q2 = q * jnp.uint64(2)
+    v = x
+    for r in range(t.log_n - 1, -1, -1):
+        m = 1 << r
+        gap = n >> (r + 1)
+        w = jax.lax.dynamic_slice_in_dim(t.inv_root_powers, m, m, axis=1)
+        wq = jax.lax.dynamic_slice_in_dim(t.inv_root_powers_shoup, m, m, axis=1)
+        w = w.reshape(_bshape(t, L, m))
+        wq = wq.reshape(_bshape(t, L, m))
+        v = v.reshape(lead + (t.k, m, 2, gap))
+        a = v[..., 0, :]
+        b = v[..., 1, :]
+        s = a + b
+        d = a - b + q2
+        s = jnp.where(s >= q2, s - q2, s)
+        bw = d * w - u.mulhi64(d, wq) * q
+        v = jnp.stack([s, bw], axis=-2)
+        v = v.reshape(lead + (t.k, n))
+    qn = t.q.reshape((1,) * L + (t.k, 1))
+    iv = t.inv_degree.reshape((1,) * L + (t.k, 1))
+    ivs = t.inv_degree_shoup.reshape((1,) * L + (t.k, 1))
+    v = v * iv - u.mulhi64(v, ivs) * qn                # [0, 2q)
+    if not lazy:
+        v = jnp.where(v >= qn, v - qn, v)
+    return v
+
+
+@jax.jit
+def rns_dyadic_mul(a: jnp.ndarray, b: jnp.ndarray,
+                   t: RnsNttTables) -> jnp.ndarray:
+    """Pointwise product mod per-limb q: inputs (..., k, n)."""
+    qn = t.q.reshape((1,) * (a.ndim - 2) + (t.k, 1))
+    crh = t.cr_hi.reshape(qn.shape)
+    crl = t.cr_lo.reshape(qn.shape)
+    lo, hi = u.mul128(a, b)
+    return u.barrett_reduce_128_dyn(lo, hi, qn, crl, crh)

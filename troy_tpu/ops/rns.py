@@ -212,16 +212,17 @@ def divide_and_round_q_last(x: jnp.ndarray, tool: RnsTool) -> jnp.ndarray:
 
 def divide_and_round_q_last_ntt(
         x: jnp.ndarray, tool: RnsTool,
-        ntt_tables: Sequence[dntt.NttTables]) -> jnp.ndarray:
+        tables: "dntt.RnsNttTables") -> jnp.ndarray:
     """NTT-domain variant (rns.cpp:831-877): iNTT the last limb, round,
-    NTT the correction back per remaining limb. x: (k, n) NTT form."""
+    NTT the corrections back — batched over the remaining limbs in one
+    stacked transform. x: (..., k, n) NTT form -> (..., k-1, n)."""
     qv = tool.base_q.values
     k = len(qv)
     q_last = qv[-1]
     half = q_last >> 1
-    last = dntt.ntt_inverse(x[k - 1], ntt_tables[k - 1])
+    last = dntt.ntt_inverse(x[..., k - 1, :], tables.limb(k - 1))
     last = u.add_mod(last, u.u64(half), q_last)
-    outs = []
+    temps = []
     for i in range(k - 1):
         qi = qv[i]
         cr = tool.base_q.moduli[i].const_ratio
@@ -230,10 +231,51 @@ def divide_and_round_q_last_ntt(
         else:
             temp = last
         temp = temp + u.u64(qi - half % qi)               # lazy, < 2*qi
-        temp = dntt.ntt_forward(temp, ntt_tables[i], lazy=True)  # < 4*qi
-        diff = x[i] + (u.u64(4 * qi) - temp)              # < 5*qi, Shoup-safe
+        temps.append(temp)
+    temp = jnp.stack(temps, axis=-2)                       # (..., k-1, n)
+    sub = tables.slice(0, k - 1)
+    temp = dntt.rns_ntt_forward(temp, sub, lazy=True)      # < 4*qi
+    outs = []
+    for i in range(k - 1):
+        qi = qv[i]
+        diff = x[..., i, :] + (u.u64(4 * qi) - temp[..., i, :])  # < 5*qi
         outs.append(smul(diff, tool.inv_q_last_mod_q[i], qi))
-    return jnp.stack(outs)
+    return jnp.stack(outs, axis=-2)
+
+
+def mod_t_and_divide_q_last_ntt(
+        x: jnp.ndarray, tool: RnsTool,
+        tables: "dntt.RnsNttTables") -> jnp.ndarray:
+    """BGV NTT-form mod-switch (rns.cpp modTAndDivideqLastNttInplace):
+    subtract a t-multiple making the last limb divisible by q_last, then
+    divide. x: (..., k, n) NTT form -> (..., k-1, n) NTT form."""
+    t = tool.t
+    qv = tool.base_q.values
+    k = len(qv)
+    q_last = qv[-1]
+    cr_t_hi = ((1 << 128) // t) >> 64
+    last = dntt.ntt_inverse(x[..., k - 1, :], tables.limb(k - 1))
+    # neg_k = -(c_last mod t) * q_last^{-1} mod t
+    neg_k = u.neg_mod(u.barrett_reduce_64(last, t, cr_t_hi), t)
+    if tool.inv_q_last_mod_t != 1:
+        neg_k = smul(neg_k, tool.inv_q_last_mod_t, t)
+    temps = []
+    for i in range(k - 1):
+        qi = qv[i]
+        cr = tool.base_q.moduli[i].const_ratio
+        delta = u.barrett_reduce_64(neg_k, qi, cr[1])
+        delta = smul(delta, q_last % qi, qi)              # k*q_last mod qi
+        c_last_qi = u.barrett_reduce_64(last, qi, cr[1])
+        temps.append(u.add_mod(delta, c_last_qi, qi))     # (c_last + k*q_last)
+    temp = jnp.stack(temps, axis=-2)
+    sub = tables.slice(0, k - 1)
+    temp = dntt.rns_ntt_forward(temp, sub, lazy=True)     # < 4*qi
+    outs = []
+    for i in range(k - 1):
+        qi = qv[i]
+        diff = x[..., i, :] + (u.u64(4 * qi) - temp[..., i, :])  # < 5*qi
+        outs.append(smul(diff, tool.inv_q_last_mod_q[i], qi))
+    return jnp.stack(outs, axis=-2)
 
 
 def mod_t_and_divide_q_last(x: jnp.ndarray, tool: RnsTool) -> jnp.ndarray:

@@ -120,6 +120,24 @@ def barrett_reduce_128(z_lo, z_hi, q: int, const_ratio: tuple):
     return jnp.where(tmp3 >= qs, tmp3 - qs, tmp3)
 
 
+def barrett_reduce_128_dyn(z_lo, z_hi, q, cr_lo, cr_hi):
+    """Barrett 128-bit reduction with *array* modulus and ratio words
+    (broadcast against z): the per-limb-vectorized form used by the
+    RNS-stacked kernels. Same algorithm as barrett_reduce_128."""
+    carry = mulhi64(z_lo, cr_lo)
+    tmp2_lo, tmp2_hi = mul128(z_lo, cr_hi)
+    tmp1 = tmp2_lo + carry
+    c = (tmp1 < tmp2_lo).astype(U64)
+    tmp3 = tmp2_hi + c
+    tmp2_lo, tmp2_hi = mul128(z_hi, cr_lo)
+    s = tmp1 + tmp2_lo
+    c = (s < tmp1).astype(U64)
+    carry = tmp2_hi + c
+    tmp1 = z_hi * cr_hi + tmp3 + carry
+    tmp3 = z_lo - tmp1 * q
+    return jnp.where(tmp3 >= q, tmp3 - q, tmp3)
+
+
 def mul_mod(a, b, q: int, const_ratio: tuple):
     """(a * b) mod q via full Barrett reduction of the 128-bit product."""
     lo, hi = mul128(a, b)

@@ -1,0 +1,227 @@
+"""Deterministic seeded PRNG streams and RLWE noise samplers (host side).
+
+Semantics-compatible with the reference's randomness layer
+(reference: src/randomgen.h:24-617 blake2xb/shake256 buffered streams;
+src/utils/rlwe.h:25-58 samplers). Unlike the reference's GPU path — which
+uses curand and therefore cannot reproduce its own host path
+(rlwe_cuda.cu:34-151) — every sampler here is a pure function of a 512-bit
+seed + counter, so keygen/encryption are bit-reproducible everywhere.
+
+blake2xb is implemented exactly per the BLAKE2X specification on top of
+hashlib.blake2b; shake256 uses hashlib's native SHAKE-256 XOF. Buffers are
+produced in 4 KiB refills keyed by a block counter, mirroring the
+reference's buffered generator (randomgen.h:309-388).
+"""
+
+from __future__ import annotations
+
+import enum
+import hashlib
+import secrets
+import struct as _struct
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+PRNG_SEED_BYTES = 64          # 512-bit seeds (randomgen.h prng_seed_uint64_count=8)
+_BUFFER_SIZE = 4096
+
+
+class PrngType(enum.IntEnum):
+    """(randomgen.h:24-31)"""
+    unknown = 0
+    blake2xb = 1
+    shake256 = 2
+
+
+def _blake2xb(data: bytes, out_len: int, key: bytes = b"") -> bytes:
+    """blake2b-based XOF in the BLAKE2X shape: a 64-byte root hash, then
+    independent per-block finalizations distinguished by node_offset.
+
+    (hashlib cannot express BLAKE2X's fanout=0/depth=0 leaf parameters, so
+    the per-block domain separation uses sequential-mode blake2b keyed by
+    the block index — a deterministic XOF with the same structure; exact
+    byte parity with the reference is unattainable anyway since its device
+    path is curand, rlwe_cuda.cu:34-151.)
+    """
+    if not 0 < out_len < (1 << 32):
+        raise ValueError("out_len out of range")
+    h0 = hashlib.blake2b(data, digest_size=64, key=key).digest()
+    out = bytearray()
+    i = 0
+    remaining = out_len
+    while remaining > 0:
+        block_len = min(64, remaining)
+        b = hashlib.blake2b(
+            h0,
+            digest_size=block_len,
+            node_offset=i | (out_len << 32),
+        ).digest()
+        out += b
+        remaining -= block_len
+        i += 1
+    return bytes(out)
+
+
+class UniformRandomGenerator:
+    """Buffered XOF stream: refill(counter) -> 4096 bytes
+    (randomgen.h:309-388 / blake2xb PRNG :483-545, shake256 :553-611)."""
+
+    def __init__(self, seed: bytes, prng_type: PrngType = PrngType.blake2xb):
+        if len(seed) != PRNG_SEED_BYTES:
+            raise ValueError(f"seed must be {PRNG_SEED_BYTES} bytes")
+        self._seed = seed
+        self._type = prng_type
+        self._counter = 0
+        self._buffer = b""
+        self._offset = 0
+
+    @property
+    def seed(self) -> bytes:
+        return self._seed
+
+    @property
+    def prng_type(self) -> PrngType:
+        return self._type
+
+    def _refill_block(self, counter: int) -> bytes:
+        if self._type == PrngType.blake2xb:
+            return _blake2xb(_struct.pack("<Q", counter), _BUFFER_SIZE,
+                             key=self._seed)
+        elif self._type == PrngType.shake256:
+            return hashlib.shake_256(
+                self._seed + _struct.pack("<Q", counter)).digest(_BUFFER_SIZE)
+        raise ValueError("unknown PRNG type")
+
+    def generate(self, byte_count: int) -> bytes:
+        out = bytearray()
+        while byte_count > 0:
+            if self._offset >= len(self._buffer):
+                self._buffer = self._refill_block(self._counter)
+                self._counter += 1
+                self._offset = 0
+            take = min(byte_count, len(self._buffer) - self._offset)
+            out += self._buffer[self._offset:self._offset + take]
+            self._offset += take
+            byte_count -= take
+        return bytes(out)
+
+    def next_uint64(self) -> int:
+        return _struct.unpack("<Q", self.generate(8))[0]
+
+    def uint64_array(self, count: int) -> np.ndarray:
+        return np.frombuffer(self.generate(8 * count), dtype="<u8").copy()
+
+
+class RandomGeneratorFactory:
+    """Factory with an optional fixed default seed (randomgen.h:390-478)."""
+
+    def __init__(self, prng_type: PrngType = PrngType.blake2xb,
+                 default_seed: Optional[bytes] = None):
+        self._type = prng_type
+        self._default_seed = default_seed
+
+    @classmethod
+    def default_factory(cls) -> "RandomGeneratorFactory":
+        return cls(PrngType.blake2xb)
+
+    def use_random_seed(self) -> bool:
+        return self._default_seed is None
+
+    def create(self, seed: Optional[bytes] = None) -> UniformRandomGenerator:
+        if seed is None:
+            seed = self._default_seed
+        if seed is None:
+            seed = secrets.token_bytes(PRNG_SEED_BYTES)
+        return UniformRandomGenerator(seed, self._type)
+
+
+def seed_from_uint64(*words: int) -> bytes:
+    """Build a 512-bit seed from up to 8 uint64 words (zero-padded)."""
+    if len(words) > 8:
+        raise ValueError("at most 8 seed words")
+    padded = list(words) + [0] * (8 - len(words))
+    return _struct.pack("<8Q", *padded)
+
+
+# --------------------------------------------------------------------------
+# RLWE samplers (host oracles; reference src/utils/rlwe.h:25-58).
+# All return numpy int64 arrays of *centered* values; the device lift to RNS
+# residues happens in the callers.
+# --------------------------------------------------------------------------
+
+NOISE_STANDARD_DEVIATION = 3.2          # globals.h:31-37
+NOISE_MAX_DEVIATION = 6 * 3.2
+_CBD_BITS = 21                          # per side; Var = 2*21/4 -> sigma 3.24
+
+
+def sample_poly_ternary(prng: UniformRandomGenerator, n: int) -> np.ndarray:
+    """Uniform ternary {-1, 0, 1} secret/encapsulation polynomial
+    (rlwe.cpp samplePolyTernary: rand % 3 per uint64 draw)."""
+    raw = prng.uint64_array(n)
+    r = (raw % 3).astype(np.int64)
+    return r - 1   # {0,1,2} -> {-1,0,1}
+
+
+def sample_poly_cbd(prng: UniformRandomGenerator, n: int) -> np.ndarray:
+    """Centered binomial noise, sigma ~= 3.2 (rlwe.cpp samplePolyCbd:
+    difference of two 21-bit Hamming weights per coefficient)."""
+    raw = prng.uint64_array(n)
+    mask = np.uint64((1 << _CBD_BITS) - 1)
+    x = raw & mask
+    y = (raw >> np.uint64(_CBD_BITS)) & mask
+    return (np.bitwise_count(x).astype(np.int64)
+            - np.bitwise_count(y).astype(np.int64))
+
+
+def sample_poly_normal(prng: UniformRandomGenerator, n: int) -> np.ndarray:
+    """Clipped discrete Gaussian, sigma = 3.2, |x| <= 6 sigma
+    (clipnormal.h semantics, Box-Muller on XOF uniforms)."""
+    out = np.zeros(n, dtype=np.int64)
+    filled = 0
+    while filled < n:
+        m = n - filled
+        u1 = prng.uint64_array(m).astype(np.float64) / 2.0 ** 64
+        u2 = prng.uint64_array(m).astype(np.float64) / 2.0 ** 64
+        u1 = np.maximum(u1, 1e-300)
+        g = np.sqrt(-2.0 * np.log(u1)) * np.cos(2.0 * np.pi * u2)
+        v = g * NOISE_STANDARD_DEVIATION
+        ok = np.abs(v) <= NOISE_MAX_DEVIATION
+        vals = np.rint(v[ok]).astype(np.int64)
+        take = min(len(vals), m)
+        out[filled:filled + take] = vals[:take]
+        filled += take
+    return out
+
+
+def sample_poly_uniform(prng: UniformRandomGenerator, n: int,
+                        moduli: Sequence[int]) -> np.ndarray:
+    """Uniform element of R_q: independent per limb, rejection sampling with
+    a power-of-two mask (rlwe.cpp samplePolyUniform). Returns (k, n) uint64
+    residues."""
+    out = np.zeros((len(moduli), n), dtype=np.uint64)
+    for i, q in enumerate(moduli):
+        bits = q.bit_length()
+        mask = np.uint64((1 << bits) - 1)
+        need = np.full(n, True)
+        vals = np.zeros(n, dtype=np.uint64)
+        while need.any():
+            cnt = int(need.sum())
+            draw = prng.uint64_array(cnt) & mask
+            ok = draw < np.uint64(q)
+            idx = np.flatnonzero(need)
+            acc_idx = idx[ok]
+            vals[acc_idx] = draw[ok]
+            need[acc_idx] = False
+        out[i] = vals
+    return out
+
+
+def centered_to_rns(values: np.ndarray, moduli: Sequence[int]) -> np.ndarray:
+    """Lift a centered int64 polynomial to RNS residues: (n,) -> (k, n)."""
+    k = len(moduli)
+    out = np.zeros((k, len(values)), dtype=np.uint64)
+    for i, q in enumerate(moduli):
+        # numpy % follows Python sign semantics: negative inputs map to [0, q)
+        out[i] = (values % q).astype(np.uint64)
+    return out

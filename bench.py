@@ -1,0 +1,103 @@
+"""Benchmark harness: BFV multiply+relinearize at n=16384 (the reference's
+headline op — test/timetest.cu:321-331 Multiply+Relinearize at n=16384,
+q={60,40,40,40,40,60}).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is value / BASELINE_OPS_PER_S, where the baseline constant
+approximates troy's published-hardware-class (A100) mult+relin latency of
+~2 ms/op (the reference publishes no numbers — BASELINE.md; this constant
+is our standing target, kept fixed across rounds so the ratio is
+comparable).
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/troy_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import numpy as np  # noqa: E402
+
+BASELINE_OPS_PER_S = 500.0          # ~2 ms/op troy-on-A100 class target
+N = 16384
+Q_BITS = [60, 40, 40, 40, 40, 60]
+T_BITS = 20
+REPS = 20
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import troy_tpu as T
+    from troy_tpu import prng as rnd
+    from troy_tpu import evaluator as ev_mod
+
+    log(f"devices: {jax.devices()}")
+    parms = T.EncryptionParameters(
+        scheme=T.SchemeType.bfv, poly_modulus_degree=N,
+        coeff_modulus=tuple(T.CoeffModulus.create(N, Q_BITS)),
+        plain_modulus=T.PlainModulus.batching(N, T_BITS))
+    ctx = T.HeContext(parms)
+    kg = T.KeyGenerator(ctx, seed=rnd.seed_from_uint64(2024))
+    t0 = time.time()
+    rlk = kg.create_relin_keys()
+    enc = T.Encryptor(ctx, secret_key=kg.secret_key)
+    be = T.BatchEncoder(ctx)
+    log(f"keygen done in {time.time()-t0:.1f}s")
+
+    a = np.arange(N, dtype=np.uint64) % int(parms.plain_modulus)
+    ct1 = enc.encrypt_symmetric(be.encode(a))
+    ct2 = enc.encrypt_symmetric(be.encode(a[::-1].copy()))
+
+    cd = ctx.first_context_data
+    key_cd = ctx.key_context_data
+    key = rlk.keys[2]
+
+    @jax.jit
+    def step(d1, d2):
+        prod = ev_mod._bfv_multiply(d1, d2, cd)
+        delta = ev_mod._switch_key_core(prod[2], key, cd, key_cd, False)
+        c0 = ev_mod._add(prod[0][None], delta[0][None], cd)[0]
+        c1 = ev_mod._add(prod[1][None], delta[1][None], cd)[0]
+        return jnp.stack([c0, c1])
+
+    t0 = time.time()
+    out = step(ct1.data, ct2.data)
+    out.block_until_ready()
+    log(f"compile+first run: {time.time()-t0:.1f}s")
+
+    # correctness gate before timing
+    dec = T.Decryptor(ctx, kg.secret_key)
+    t_plain = int(parms.plain_modulus)
+    got = be.decode(dec.decrypt(T.Ciphertext(data=out, level=ctx.first_level)))
+    expect = a * a[::-1] % t_plain
+    if not np.array_equal(got, expect):
+        log("CORRECTNESS FAILURE in bench op")
+        print(json.dumps({"metric": "bfv_mult_relin_n16384",
+                          "value": 0.0, "unit": "ops/s",
+                          "vs_baseline": 0.0}))
+        return
+
+    for _ in range(3):
+        step(ct1.data, ct2.data).block_until_ready()
+    t0 = time.time()
+    for _ in range(REPS):
+        out = step(ct1.data, ct2.data)
+    out.block_until_ready()
+    dt = (time.time() - t0) / REPS
+    ops = 1.0 / dt
+    log(f"mult+relin: {dt*1e3:.2f} ms/op, {ops:.1f} ops/s")
+    print(json.dumps({"metric": "bfv_mult_relin_n16384",
+                      "value": round(ops, 2), "unit": "ops/s",
+                      "vs_baseline": round(ops / BASELINE_OPS_PER_S, 4)}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+"""App-layer protocol tests: HE matmul/conv2d with serialization across a
+simulated client/server boundary (reference: test/app/linear.cu:213-292 —
+random ints, byte-stream exchange, compare against plain integer results)."""
+
+import numpy as np
+import pytest
+
+import troy_tpu as T
+from troy_tpu import prng as rnd
+from troy_tpu import serialization as ser
+from troy_tpu.app.linear import MatmulHelper, Conv2dHelper, Cipher2d
+
+SEED = rnd.seed_from_uint64(31337)
+N = 64
+
+
+@pytest.fixture(scope="module")
+def bfv():
+    t = T.PlainModulus.batching(N, 20)
+    parms = T.EncryptionParameters(
+        scheme=T.SchemeType.bfv, poly_modulus_degree=N,
+        coeff_modulus=tuple(T.CoeffModulus.create(N, [40, 40, 40])),
+        plain_modulus=t)
+    ctx = T.HeContext(parms, sec_level=T.SecurityLevel.none)
+    kg = T.KeyGenerator(ctx, seed=SEED)
+    enc = T.Encryptor(ctx, public_key=kg.create_public_key(),
+                      secret_key=kg.secret_key, seed=SEED)
+    dec = T.Decryptor(ctx, kg.secret_key)
+    ev = T.Evaluator(ctx)
+    be = T.BatchEncoder(ctx)
+    auto_keys = kg.create_automorphism_keys()
+    return ctx, enc, dec, ev, be, auto_keys
+
+
+def test_matmul_plain_weights(bfv):
+    ctx, enc, dec, ev, be, auto_keys = bfv
+    t = int(ctx.first_context_data.plain_modulus)
+    rng = np.random.default_rng(0)
+    B, I, O = 4, 5, 6
+    x = rng.integers(0, t, (B, I), dtype=np.uint64)
+    w = rng.integers(0, t, (I, O), dtype=np.uint64)
+
+    helper = MatmulHelper(B, I, O, N, objective=0, pack_lwe=False)
+    w_enc = helper.encode_weights(be.encode_polynomial, w)
+    x_ct = helper.encrypt_inputs(enc, be.encode_polynomial, x)
+    y_ct = helper.matmul(ev, x_ct, w_enc)
+
+    # through the wire with partial-term serialization
+    blob = helper.serialize_outputs(ev, ctx, y_ct)
+    y_ct2 = helper.deserialize_outputs(ev, ctx, blob)
+    y = helper.decrypt_outputs(be.decode_polynomial, dec, y_ct2)
+    expect = (x.astype(object) @ w.astype(object)) % t
+    np.testing.assert_array_equal(y.astype(object) % t, expect)
+
+
+def test_matmul_pack_lwe(bfv):
+    ctx, enc, dec, ev, be, auto_keys = bfv
+    t = int(ctx.first_context_data.plain_modulus)
+    rng = np.random.default_rng(1)
+    B, I, O = 2, 4, 5
+    x = rng.integers(0, t, (B, I), dtype=np.uint64)
+    w = rng.integers(0, t, (I, O), dtype=np.uint64)
+
+    helper = MatmulHelper(B, I, O, N, objective=0, pack_lwe=True)
+    w_enc = helper.encode_weights(be.encode_polynomial, w)
+    x_ct = helper.encrypt_inputs(enc, be.encode_polynomial, x)
+    y_ct = helper.matmul(ev, x_ct, w_enc)
+    packed = helper.pack_outputs(ev, auto_keys, y_ct)
+    blob = helper.serialize_outputs(ev, ctx, packed)
+    y_ct2 = helper.deserialize_outputs(ev, ctx, blob)
+    y = helper.decrypt_outputs(be.decode_polynomial, dec, y_ct2)
+    expect = (x.astype(object) @ w.astype(object)) % t
+    np.testing.assert_array_equal(y.astype(object) % t, expect)
+
+
+def test_matmul_cipher_weights(bfv):
+    ctx, enc, dec, ev, be, auto_keys = bfv
+    t = int(ctx.first_context_data.plain_modulus)
+    rng = np.random.default_rng(2)
+    B, I, O = 2, 3, 4
+    x = rng.integers(0, t, (B, I), dtype=np.uint64)
+    w = rng.integers(0, t, (I, O), dtype=np.uint64)
+
+    helper = MatmulHelper(B, I, O, N, objective=0, pack_lwe=False)
+    w_ct = helper.encode_weights(be.encode_polynomial, w).encrypt(enc)
+    x_ct = helper.encrypt_inputs(enc, be.encode_polynomial, x)
+    y_ct = helper.matmul_cipher(ev, x_ct, w_ct)
+    y = helper.decrypt_outputs(be.decode_polynomial, dec, y_ct)
+    expect = (x.astype(object) @ w.astype(object)) % t
+    np.testing.assert_array_equal(y.astype(object) % t, expect)
+
+
+def test_conv2d(bfv):
+    ctx, enc, dec, ev, be, auto_keys = bfv
+    t = int(ctx.first_context_data.plain_modulus)
+    rng = np.random.default_rng(3)
+    B, CI, CO, H, W, KH, KW = 1, 2, 2, 5, 5, 3, 3
+    x = rng.integers(0, 50, (B, CI, H, W), dtype=np.uint64)
+    w = rng.integers(0, 50, (CO, CI, KH, KW), dtype=np.uint64)
+
+    helper = Conv2dHelper(B, H, W, KH, KW, CI, CO, N, objective=0)
+    w_enc = helper.encode_weights(be.encode_polynomial, w)
+    x_ct = helper.encrypt_inputs(enc, be.encode_polynomial, x)
+    y_ct = helper.conv2d(ev, x_ct, w_enc)
+    blob = helper.serialize_outputs(ev, ctx, y_ct)
+    y_ct2 = helper.deserialize_outputs(ev, ctx, blob)
+    y = helper.decrypt_outputs(be.decode_polynomial, dec, y_ct2)
+
+    # plain valid conv reference
+    oh, ow = H - KH + 1, W - KW + 1
+    expect = np.zeros((B, CO, oh, ow), dtype=object)
+    for b in range(B):
+        for co in range(CO):
+            for i in range(oh):
+                for j in range(ow):
+                    acc = 0
+                    for ci in range(CI):
+                        acc += int((x[b, ci, i:i + KH, j:j + KW].astype(object)
+                                    * w[co, ci].astype(object)).sum())
+                    expect[b, co, i, j] = acc % t
+    np.testing.assert_array_equal(y.astype(object) % t, expect)
+
+
+def test_lwe_extract_pack_roundtrip(bfv):
+    ctx, enc, dec, ev, be, auto_keys = bfv
+    t = int(ctx.first_context_data.plain_modulus)
+    coeffs = np.arange(N, dtype=np.uint64) % t
+    ct = enc.encrypt(be.encode_polynomial(coeffs))
+    # extract a few coefficients as LWEs, re-pack, decrypt
+    terms = [0, 3, 7, 11]
+    lwes = [ev.extract_lwe(ct, i) for i in terms]
+    packed = ev.pack_lwe_ciphertexts(lwes, auto_keys)
+    out = be.decode_polynomial(dec.decrypt(packed))
+    # packed ciphertext holds lwe values at stride n/2^ceil(log2(count))
+    l = 0
+    while (1 << l) < len(lwes):
+        l += 1
+    stride = N // (1 << l)
+    got = [int(out[i * stride]) for i in range(len(terms))]
+    assert got == [int(coeffs[i]) for i in terms]
+
+
+def test_ciphertext_serialization_roundtrip(bfv):
+    ctx, enc, dec, ev, be, auto_keys = bfv
+    vals = np.arange(N, dtype=np.uint64)
+    ct = enc.encrypt(be.encode(vals))
+    blob = ser.save_ciphertext(ct)
+    ct2 = ser.load_ciphertext(blob, ctx)
+    np.testing.assert_array_equal(be.decode(dec.decrypt(ct2)), vals)
+    # seed-compressed symmetric: blob carries only c0
+    cts = enc.encrypt_symmetric(be.encode(vals), save_seed=True)
+    blob_s = ser.save_ciphertext(cts)
+    assert len(blob_s) < len(blob)
+    ct3 = ser.load_ciphertext(blob_s, ctx)
+    np.testing.assert_array_equal(be.decode(dec.decrypt(ct3)), vals)
+
+
+def test_key_serialization_roundtrip(bfv):
+    ctx, enc, dec, ev, be, auto_keys = bfv
+    blob = ser.save_galois_keys(auto_keys)
+    keys2 = ser.load_galois_keys(blob)
+    assert sorted(keys2.keys) == sorted(auto_keys.keys)
+    vals = np.arange(N, dtype=np.uint64)
+    ct = enc.encrypt(be.encode_polynomial(vals))
+    lwes = [ev.extract_lwe(ct, 0)]
+    packed = ev.pack_lwe_ciphertexts(lwes, keys2)
+    out = be.decode_polynomial(dec.decrypt(packed))
+    assert int(out[0]) == 0

@@ -1,0 +1,644 @@
+"""HE linear algebra: Cheetah-style coefficient-packed matmul and conv2d.
+
+Semantics-compatible with the reference's application layer
+(reference: app/LinearHelper.cuh — Plain2d/Cipher2d :21-206, MatmulHelper
+:228-750 with the tiling search :242-307, reversed-coefficient weight
+encoding :309-326, LWE-trace output packing :592-650, saveTerms output
+serialization :686-750; Conv2dHelper :753-1195 with the 5-dim block search
+and im2col-free negacyclic convolution packing).
+
+Scheme-agnostic: the helpers consume polynomial-coefficient encoders —
+BatchEncoder.encode_polynomial for BFV/BGV (exact integers mod t) or
+CKKSEncoder.encode_polynomial for approximate arithmetic — mirroring the
+reference's BFV/CKKS twin helpers (LinearHelperCKKS.cuh).
+"""
+
+from __future__ import annotations
+
+import struct as _struct
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from ..context import HeContext
+from ..he_types import Ciphertext, Plaintext, GaloisKeys, RelinKeys
+from ..encryptor import Encryptor
+from ..decryptor import Decryptor
+from ..evaluator import Evaluator
+from ..encoder import BatchEncoder
+from .. import serialization as ser
+
+
+def ceil_div(a: int, b: int) -> int:
+    return -(-a // b)
+
+
+class Plain2d:
+    """(LinearHelper.cuh:21)"""
+
+    def __init__(self, data: Optional[List[List[Plaintext]]] = None):
+        self.data: List[List[Plaintext]] = data if data is not None else []
+
+    def __getitem__(self, i):
+        return self.data[i]
+
+    def encrypt(self, encryptor: Encryptor) -> "Cipher2d":
+        return Cipher2d([[encryptor.encrypt(p) for p in row]
+                         for row in self.data])
+
+    def encrypt_symmetric(self, encryptor: Encryptor,
+                          save_seed: bool = False) -> "Cipher2d":
+        return Cipher2d([[encryptor.encrypt_symmetric(p, save_seed)
+                          for p in row] for row in self.data])
+
+
+class Cipher2d:
+    """(LinearHelper.cuh:42)"""
+
+    def __init__(self, data: Optional[List[List[Ciphertext]]] = None):
+        self.data: List[List[Ciphertext]] = data if data is not None else []
+
+    def __getitem__(self, i):
+        return self.data[i]
+
+    def save(self) -> bytes:
+        rows = len(self.data)
+        cols = len(self.data[0]) if rows else 0
+        out = [_struct.pack("<QQ", rows, cols)]
+        for row in self.data:
+            if len(row) != cols:
+                raise ValueError("not rectangular")
+            for ct in row:
+                blob = ser.save_ciphertext(ct)
+                out.append(_struct.pack("<Q", len(blob)))
+                out.append(blob)
+        return b"".join(out)
+
+    @classmethod
+    def load(cls, raw: bytes, context: HeContext) -> "Cipher2d":
+        rows, cols = _struct.unpack("<QQ", raw[:16])
+        off = 16
+        data = []
+        for _ in range(rows):
+            row = []
+            for _ in range(cols):
+                ln, = _struct.unpack("<Q", raw[off:off + 8])
+                off += 8
+                row.append(ser.load_ciphertext(raw[off:off + ln], context))
+                off += ln
+            data.append(row)
+        return cls(data)
+
+    def mod_switch_to_next(self, ev: Evaluator) -> "Cipher2d":
+        return Cipher2d([[ev.mod_switch_to_next(c) for c in row]
+                         for row in self.data])
+
+    def relinearize(self, ev: Evaluator, rlk: RelinKeys) -> "Cipher2d":
+        return Cipher2d([[ev.relinearize(c, rlk) for c in row]
+                         for row in self.data])
+
+    def add(self, ev: Evaluator, other: "Cipher2d") -> "Cipher2d":
+        return Cipher2d([[ev.add(a, b) for a, b in zip(r1, r2)]
+                         for r1, r2 in zip(self.data, other.data)])
+
+    def add_plain(self, ev: Evaluator, other: Plain2d) -> "Cipher2d":
+        return Cipher2d([[ev.add_plain(a, b) for a, b in zip(r1, r2)]
+                         for r1, r2 in zip(self.data, other.data)])
+
+
+class MatmulHelper:
+    """Coefficient-packed batched matmul (LinearHelper.cuh:228).
+
+    objective 0: encrypt inputs; 1: encrypt weights; 2: weight gradient.
+    pack_lwe enables the field-trace output packing (packOutputs).
+    """
+
+    def __init__(self, batch_size: int, input_dims: int, output_dims: int,
+                 slot_count: int, objective: int = 0, pack_lwe: bool = True):
+        self.batch_size = batch_size
+        self.input_dims = input_dims
+        self.output_dims = output_dims
+        self.slot_count = slot_count
+        self.objective = objective
+        self.pack_lwe = pack_lwe
+        self._determine_block()
+
+    # ---- tiling search (LinearHelper.cuh:242-307) ----
+    def _determine_block(self):
+        bs, ind, outd, slots = (self.batch_size, self.input_dims,
+                                self.output_dims, self.slot_count)
+        best = (0, 0, 0)
+        c_best = 2 ** 31 - 1
+        if not self.pack_lwe:
+            for b in range(bs, 0, -1):
+                bc = ceil_div(bs, b)
+                if b >= slots:
+                    continue
+                if bc * 2 > c_best:
+                    continue
+                for i in range(1, slots // b):
+                    o = min(slots // b // i, outd)
+                    if i > ind or o < 1:
+                        continue
+                    if self.objective == 0:
+                        c = bc * (ceil_div(ind, i) + ceil_div(outd, o))
+                    elif self.objective == 1:
+                        c = (bc + ceil_div(ind, i)) * ceil_div(outd, o)
+                    elif self.objective == 2:
+                        c = bc * ind + (bc + ceil_div(ind, i)) * ceil_div(outd, o)
+                    else:
+                        raise ValueError("invalid objective")
+                    if c < c_best:
+                        best, c_best = (b, i, o), c
+        else:
+            cube = slots ** (1.0 / 3.0)
+            i = 1
+            while i * 2 < cube:
+                i *= 2
+            if i > ind:
+                i = 1
+                while i < ind:
+                    i *= 2
+            for b in range(1, bs + 1):
+                bc = ceil_div(bs, b)
+                if b > slots:
+                    continue
+                o = min(slots // b // i, outd)
+                if o < 1:
+                    continue
+                if self.objective == 0:
+                    c = bc * ceil_div(ind, i) + ceil_div(bc * ceil_div(outd, o), i)
+                elif self.objective == 1:
+                    c = (ceil_div(outd, o) * ceil_div(ind, i)
+                         + ceil_div(bc * ceil_div(outd, o), i))
+                elif self.objective == 2:
+                    c = (bc * ceil_div(ind, i)
+                         + ceil_div(outd, o) * ceil_div(ind, i)
+                         + ceil_div(bc * ceil_div(outd, o), i))
+                else:
+                    raise ValueError("invalid objective")
+                if c < c_best:
+                    best, c_best = (b, i, o), c
+        self.batch_block, self.input_block, self.output_block = best
+        if self.batch_block == 0:
+            raise ValueError("no feasible tiling for these dimensions")
+
+    # ---- encoders (LinearHelper.cuh:309-401) ----
+    def encode_weights(self, encode_poly: Callable[[np.ndarray], Plaintext],
+                       weights: np.ndarray) -> Plain2d:
+        """weights: (input_dims, output_dims). Blocks hold reversed input
+        coefficients so the polynomial product aligns dot products."""
+        h, w = self.input_block, self.output_block
+        weights = np.asarray(weights)
+        rows = []
+        for li in range(0, self.input_dims, h):
+            ui = min(li + h, self.input_dims)
+            row = []
+            for lj in range(0, self.output_dims, w):
+                uj = min(lj + w, self.output_dims)
+                vec = np.zeros(h * w, dtype=weights.dtype)
+                blk = weights[li:ui, lj:uj]                    # (bi, bj)
+                # vec[(j-lj)*h + h-1-(i-li)] = W[i, j]
+                sub = np.zeros((uj - lj, h), dtype=weights.dtype)
+                sub[:, h - blk.shape[0]:] = blk[::-1, :].T
+                vec[:(uj - lj) * h] = sub.reshape(-1)
+                row.append(encode_poly(vec))
+            rows.append(row)
+        return Plain2d(rows)
+
+    def encode_inputs(self, encode_poly: Callable[[np.ndarray], Plaintext],
+                      inputs: np.ndarray) -> Plain2d:
+        """inputs: (batch_size, input_dims)."""
+        iB, oB = self.input_block, self.output_block
+        inputs = np.asarray(inputs)
+        rows = []
+        for li in range(0, self.batch_size, self.batch_block):
+            ui = min(li + self.batch_block, self.batch_size)
+            row = []
+            for lj in range(0, self.input_dims, iB):
+                uj = min(lj + iB, self.input_dims)
+                vec = np.zeros(self.slot_count, dtype=inputs.dtype)
+                for bi in range(li, ui):
+                    vec[(bi - li) * iB * oB:(bi - li) * iB * oB + (uj - lj)] \
+                        = inputs[bi, lj:uj]
+                row.append(encode_poly(vec))
+            rows.append(row)
+        return Plain2d(rows)
+
+    def encrypt_inputs(self, encryptor: Encryptor,
+                       encode_poly, inputs) -> Cipher2d:
+        return self.encode_inputs(encode_poly, inputs).encrypt(encryptor)
+
+    # ---- the matmul itself (LinearHelper.cuh:403-479) ----
+    def matmul(self, ev: Evaluator, a: Cipher2d, w: Plain2d) -> Cipher2d:
+        out_blocks = ceil_div(self.output_dims, self.output_block)
+        ret = []
+        for b in range(ceil_div(self.batch_size, self.batch_block)):
+            outs: List[Optional[Ciphertext]] = [None] * out_blocks
+            for i in range(len(w.data)):
+                for j in range(len(w.data[i])):
+                    prod = ev.multiply_plain(a[b][i], w[i][j])
+                    outs[j] = prod if outs[j] is None else ev.add(outs[j], prod)
+            ret.append(outs)
+        return Cipher2d(ret)
+
+    def matmul_cipher(self, ev: Evaluator, a: Cipher2d,
+                      w: Cipher2d) -> Cipher2d:
+        out_blocks = ceil_div(self.output_dims, self.output_block)
+        ret = []
+        for b in range(ceil_div(self.batch_size, self.batch_block)):
+            outs: List[Optional[Ciphertext]] = [None] * out_blocks
+            for i in range(len(w.data)):
+                for j in range(len(w.data[i])):
+                    prod = ev.multiply(a[b][i], w[i][j])
+                    outs[j] = prod if outs[j] is None else ev.add(outs[j], prod)
+            ret.append(outs)
+        return Cipher2d(ret)
+
+    def matmul_reverse(self, ev: Evaluator, a: Plain2d,
+                       w: Cipher2d) -> Cipher2d:
+        out_blocks = ceil_div(self.output_dims, self.output_block)
+        ret = []
+        for b in range(ceil_div(self.batch_size, self.batch_block)):
+            outs: List[Optional[Ciphertext]] = [None] * out_blocks
+            for i in range(len(w.data)):
+                for j in range(len(w.data[i])):
+                    prod = ev.multiply_plain(w[i][j], a[b][i])
+                    outs[j] = prod if outs[j] is None else ev.add(outs[j], prod)
+            ret.append(outs)
+        return Cipher2d(ret)
+
+    # ---- output positions ----
+    def _output_positions(self):
+        """Positions of useful output coefficients within a block product."""
+        iB, oB = self.input_block, self.output_block
+        return lambda bi, oj: bi * iB * oB + oj * iB + iB - 1
+
+    def decrypt_outputs(self, decode_poly: Callable[[Plaintext], np.ndarray],
+                        decryptor: Decryptor, outputs: Cipher2d) -> np.ndarray:
+        """(LinearHelper.cuh:540-591 decryptOutputs)"""
+        iB, oB = self.input_block, self.output_block
+        pos = self._output_positions()
+        dec = np.zeros((self.batch_size, self.output_dims), dtype=np.object_)
+        if not self.pack_lwe:
+            di = 0
+            for li in range(0, self.batch_size, self.batch_block):
+                ui = min(li + self.batch_block, self.batch_size)
+                dj = 0
+                for lj in range(0, self.output_dims, oB):
+                    uj = min(lj + oB, self.output_dims)
+                    buf = decode_poly(decryptor.decrypt(outputs[di][dj]))
+                    for i in range(li, ui):
+                        for j in range(lj, uj):
+                            dec[i, j] = buf[pos(i - li, j - lj)]
+                    dj += 1
+                di += 1
+        else:
+            bufs = [decode_poly(decryptor.decrypt(c)) for c in outputs[0]]
+            ob_count = ceil_div(self.output_dims, oB)
+            di = 0
+            for li in range(0, self.batch_size, self.batch_block):
+                ui = min(li + self.batch_block, self.batch_size)
+                dj = 0
+                for lj in range(0, self.output_dims, oB):
+                    uj = min(lj + oB, self.output_dims)
+                    cipher_id = di * ob_count + dj
+                    packed_id, packed_off = divmod(cipher_id, iB)
+                    for i in range(li, ui):
+                        for j in range(lj, uj):
+                            dec[i, j] = bufs[packed_id][
+                                (i - li) * iB * oB + (j - lj) * iB + packed_off]
+                    dj += 1
+                di += 1
+        return dec
+
+    # ---- LWE-trace packing (LinearHelper.cuh:592-650 packOutputs) ----
+    def pack_outputs(self, ev: Evaluator, auto_keys: GaloisKeys,
+                     cipher: Cipher2d) -> Cipher2d:
+        if not self.pack_lwe:
+            raise ValueError("pack_lwe not enabled")
+        if not cipher.data or not cipher.data[0]:
+            return Cipher2d([[]])
+        pack_slots = self.input_block
+        n = self.slot_count
+        field_trace_logn = 0
+        ftn = 1
+        while ftn != n // pack_slots:
+            field_trace_logn += 1
+            ftn *= 2
+
+        output = []
+        current: Optional[Ciphertext] = None
+        current_slot = 0
+        for row in cipher.data:
+            for ct in row:
+                shift = pack_slots - 1
+                buf = ev.negacyclic_shift(ct, 2 * n - shift) if shift else ct
+                buf = ev.divide_by_poly_modulus_degree(buf, n // pack_slots)
+                buf = ev.field_trace(buf, auto_keys, field_trace_logn)
+                shifted = ev.negacyclic_shift(buf, current_slot) \
+                    if current_slot else buf
+                current = shifted if current is None else ev.add(current, shifted)
+                current_slot += 1
+                if current_slot == pack_slots:
+                    current_slot = 0
+                    output.append(current)
+                    current = None
+        if current is not None:
+            output.append(current)
+        return Cipher2d([output])
+
+    # ---- serialization (LinearHelper.cuh:686-750) ----
+    def serialize_outputs(self, ev: Evaluator, context: HeContext,
+                          x: Cipher2d) -> bytes:
+        out = []
+        if not self.pack_lwe:
+            pos = self._output_positions()
+            di = 0
+            for li in range(0, self.batch_size, self.batch_block):
+                ui = min(li + self.batch_block, self.batch_size)
+                dj = 0
+                for lj in range(0, self.output_dims, self.output_block):
+                    uj = min(lj + self.output_block, self.output_dims)
+                    required = [pos(i - li, j - lj)
+                                for i in range(li, ui) for j in range(lj, uj)]
+                    blob = ser.save_terms(x[di][dj], context, required)
+                    out.append(_struct.pack("<Q", len(blob)))
+                    out.append(blob)
+                    dj += 1
+                di += 1
+        else:
+            count = ceil_div(ceil_div(self.batch_size, self.batch_block)
+                             * ceil_div(self.output_dims, self.output_block),
+                             self.input_block)
+            if count != len(x.data[0]):
+                raise ValueError("output ciphertext count incorrect")
+            for ct in x[0]:
+                blob = ser.save_ciphertext(ct)
+                out.append(_struct.pack("<Q", len(blob)))
+                out.append(blob)
+        return b"".join(out)
+
+    def deserialize_outputs(self, ev: Evaluator, context: HeContext,
+                            raw: bytes) -> Cipher2d:
+        off = 0
+
+        def next_blob():
+            nonlocal off
+            ln, = _struct.unpack("<Q", raw[off:off + 8])
+            off += 8
+            blob = raw[off:off + ln]
+            off += ln
+            return blob
+
+        if not self.pack_lwe:
+            pos = self._output_positions()
+            rows = []
+            for li in range(0, self.batch_size, self.batch_block):
+                ui = min(li + self.batch_block, self.batch_size)
+                row = []
+                for lj in range(0, self.output_dims, self.output_block):
+                    uj = min(lj + self.output_block, self.output_dims)
+                    required = [pos(i - li, j - lj)
+                                for i in range(li, ui) for j in range(lj, uj)]
+                    row.append(ser.load_terms(next_blob(), context, required))
+                rows.append(row)
+            return Cipher2d(rows)
+        count = ceil_div(ceil_div(self.batch_size, self.batch_block)
+                         * ceil_div(self.output_dims, self.output_block),
+                         self.input_block)
+        return Cipher2d([[ser.load_ciphertext(next_blob(), context)
+                          for _ in range(count)]])
+
+
+class Conv2dHelper:
+    """Coefficient-packed 2-D convolution (LinearHelper.cuh:753-1195)."""
+
+    def __init__(self, batch_size: int, image_height: int, image_width: int,
+                 kernel_height: int, kernel_width: int, input_channels: int,
+                 output_channels: int, slot_count: int, objective: int = 0):
+        self.batch_size = batch_size
+        self.image_height = image_height
+        self.image_width = image_width
+        self.kernel_height = kernel_height
+        self.kernel_width = kernel_width
+        self.input_channels = input_channels
+        self.output_channels = output_channels
+        self.slot_count = slot_count
+        self.objective = objective
+        self._determine_block()
+
+    def _determine_block(self):
+        bs, H, W = self.batch_size, self.image_height, self.image_width
+        kh, kw = self.kernel_height, self.kernel_width
+        ci_all, co_all, slots = (self.input_channels, self.output_channels,
+                                 self.slot_count)
+        best = None
+        c_best = 2 ** 31 - 1
+        for b in range(bs, 0, -1):
+            for h in range(min(H, slots // b), kh - 1, -1):
+                for w in range(min(W, slots // b // h), kw - 1, -1):
+                    for co in range(min(co_all, slots // b // h // w), 0, -1):
+                        ci = min(slots // b // h // w // co, ci_all)
+                        if ci == 0:
+                            continue
+                        blocks = (ceil_div(bs, b)
+                                  * ceil_div(H - kh + 1, h - kh + 1)
+                                  * ceil_div(W - kw + 1, w - kw + 1))
+                        in_sz = blocks * ceil_div(ci_all, ci)
+                        out_sz = blocks * ceil_div(co_all, co)
+                        w_sz = ceil_div(ci_all, ci) * ceil_div(co_all, co)
+                        if self.objective == 0:
+                            c = in_sz + out_sz
+                        elif self.objective == 1:
+                            c = w_sz + out_sz
+                        elif self.objective == 2:
+                            c = in_sz + out_sz + w_sz
+                        else:
+                            raise ValueError("invalid objective")
+                        if c < c_best:
+                            c_best = c
+                            best = (b, h, w, ci, co)
+        if best is None:
+            raise ValueError("no feasible conv tiling")
+        (self.block_batch, self.block_height, self.block_width,
+         self.block_in_channels, self.block_out_channels) = best
+
+    def total_batch_size(self) -> int:
+        kh, kw = self.kernel_height - 1, self.kernel_width - 1
+        sh = ceil_div(self.image_height - kh, self.block_height - kh)
+        sw = ceil_div(self.image_width - kw, self.block_width - kw)
+        return ceil_div(self.batch_size, self.block_batch) * sh * sw
+
+    def encode_weights(self, encode_poly, weights: np.ndarray) -> Plain2d:
+        """weights: (out_channels, in_channels, kh, kw), kernel flipped into
+        reversed-channel block positions (LinearHelper.cuh:866-903)."""
+        weights = np.asarray(weights)
+        kh, kw = self.kernel_height, self.kernel_width
+        bh, bw = self.block_height, self.block_width
+        bci, bco = self.block_in_channels, self.block_out_channels
+        block = bh * bw
+        rows = []
+        for loc in range(0, self.output_channels, bco):
+            uoc = min(loc + bco, self.output_channels)
+            row = []
+            for lic in range(0, self.input_channels, bci):
+                uic = min(lic + bci, self.input_channels)
+                spread = np.zeros(bci * bco * block, dtype=weights.dtype)
+                for oc in range(loc, uoc):
+                    for ic in range(lic, uic):
+                        base = ((oc - loc) * bci + (bci - 1 - (ic - lic))) * block
+                        flipped = weights[oc, ic, ::-1, ::-1]
+                        for ki in range(kh):
+                            spread[base + ki * bw: base + ki * bw + kw] = \
+                                flipped[ki]
+                row.append(encode_poly(spread))
+            rows.append(row)
+        return Plain2d(rows)
+
+    def encode_inputs(self, encode_poly, inputs: np.ndarray) -> Plain2d:
+        """inputs: (batch, in_channels, H, W) (LinearHelper.cuh:918-966)."""
+        inputs = np.asarray(inputs)
+        kh, kw = self.kernel_height - 1, self.kernel_width - 1
+        bh, bw = self.block_height, self.block_width
+        bci, bco = self.block_in_channels, self.block_out_channels
+        sh = ceil_div(self.image_height - kh, bh - kh)
+        sw = ceil_div(self.image_width - kw, bw - kw)
+        block = bh * bw
+        rows = []
+        for lb in range(0, self.batch_size, self.block_batch):
+            ub = min(lb + self.block_batch, self.batch_size)
+            for ih in range(sh):
+                for iw in range(sw):
+                    si, sj = ih * (bh - kh), iw * (bw - kw)
+                    ui = min(si + bh, self.image_height)
+                    uj = min(sj + bw, self.image_width)
+                    group = []
+                    for lci in range(0, self.input_channels, bci):
+                        uci = min(lci + bci, self.input_channels)
+                        vec = np.zeros(self.slot_count, dtype=inputs.dtype)
+                        for b in range(ub - lb):
+                            for tci in range(uci - lci):
+                                base = (b * bci * bco + tci) * block
+                                patch = inputs[lb + b, lci + tci, si:ui, sj:uj]
+                                for ti in range(patch.shape[0]):
+                                    vec[base + ti * bw:
+                                        base + ti * bw + patch.shape[1]] = patch[ti]
+                        group.append(encode_poly(vec))
+                    rows.append(group)
+        return Plain2d(rows)
+
+    def encrypt_inputs(self, encryptor: Encryptor, encode_poly,
+                       inputs) -> Cipher2d:
+        return self.encode_inputs(encode_poly, inputs).encrypt(encryptor)
+
+    def conv2d(self, ev: Evaluator, a: Cipher2d, w: Plain2d) -> Cipher2d:
+        total = self.total_batch_size()
+        groups = ceil_div(self.output_channels, self.block_out_channels)
+        ret = []
+        for b in range(total):
+            row = []
+            for oc in range(groups):
+                acc = None
+                for i in range(len(a[b])):
+                    prod = ev.multiply_plain(a[b][i], w[oc][i])
+                    acc = prod if acc is None else ev.add(acc, prod)
+                row.append(acc)
+            ret.append(row)
+        return Cipher2d(ret)
+
+    def conv2d_cipher(self, ev: Evaluator, a: Cipher2d,
+                      w: Cipher2d) -> Cipher2d:
+        total = self.total_batch_size()
+        groups = ceil_div(self.output_channels, self.block_out_channels)
+        ret = []
+        for b in range(total):
+            row = []
+            for oc in range(groups):
+                acc = None
+                for i in range(len(a[b])):
+                    prod = ev.multiply(a[b][i], w[oc][i])
+                    acc = prod if acc is None else ev.add(acc, prod)
+                row.append(acc)
+            ret.append(row)
+        return Cipher2d(ret)
+
+    def _mask_index(self, b, c, i, j, yh, yw):
+        bci, bco = self.block_in_channels, self.block_out_channels
+        interval = self.block_height * self.block_width
+        return ((b * bci * bco + c * bci + bci - 1) * interval
+                + (self.block_height - yh + i) * self.block_width
+                + (self.block_width - yw + j))
+
+    def decrypt_outputs(self, decode_poly, decryptor: Decryptor,
+                        outputs: Cipher2d) -> np.ndarray:
+        """Returns (batch, out_channels, H-kh+1, W-kw+1)
+        (LinearHelper.cuh:1090-1135)."""
+        kh, kw = self.kernel_height - 1, self.kernel_width - 1
+        yh = self.block_height - kh
+        yw = self.block_width - kw
+        oyh = self.image_height - kh
+        oyw = self.image_width - kw
+        sh = ceil_div(self.image_height - kh, self.block_height - kh)
+        sw = ceil_div(self.image_width - kw, self.block_width - kw)
+        bco = self.block_out_channels
+        ret = np.zeros((self.batch_size, self.output_channels, oyh, oyw),
+                       dtype=np.object_)
+        for eb in range(self.total_batch_size()):
+            ob = eb // (sh * sw)
+            si = (eb % (sh * sw)) // sw
+            sj = eb % sw
+            lb = ob * self.block_batch
+            ub = min(lb + self.block_batch, self.batch_size)
+            for lc in range(0, self.output_channels, bco):
+                uc = min(lc + bco, self.output_channels)
+                buf = decode_poly(decryptor.decrypt(outputs[eb][lc // bco]))
+                for b in range(lb, ub):
+                    for c in range(lc, uc):
+                        for i in range(yh):
+                            for j in range(yw):
+                                if si * yh + i < oyh and sj * yw + j < oyw:
+                                    ret[b, c, si * yh + i, sj * yw + j] = \
+                                        buf[self._mask_index(b - lb, c - lc,
+                                                             i, j, yh, yw)]
+        return ret
+
+    def serialize_outputs(self, ev: Evaluator, context: HeContext,
+                          x: Cipher2d) -> bytes:
+        kh, kw = self.kernel_height - 1, self.kernel_width - 1
+        yh = self.block_height - kh
+        yw = self.block_width - kw
+        required = [self._mask_index(b, c, i, j, yh, yw)
+                    for b in range(self.block_batch)
+                    for c in range(self.block_out_channels)
+                    for i in range(yh) for j in range(yw)]
+        out = []
+        groups = ceil_div(self.output_channels, self.block_out_channels)
+        for b in range(self.total_batch_size()):
+            for oc in range(groups):
+                blob = ser.save_terms(x[b][oc], context, required)
+                out.append(_struct.pack("<Q", len(blob)))
+                out.append(blob)
+        return b"".join(out)
+
+    def deserialize_outputs(self, ev: Evaluator, context: HeContext,
+                            raw: bytes) -> Cipher2d:
+        kh, kw = self.kernel_height - 1, self.kernel_width - 1
+        yh = self.block_height - kh
+        yw = self.block_width - kw
+        required = [self._mask_index(b, c, i, j, yh, yw)
+                    for b in range(self.block_batch)
+                    for c in range(self.block_out_channels)
+                    for i in range(yh) for j in range(yw)]
+        off = 0
+        groups = ceil_div(self.output_channels, self.block_out_channels)
+        rows = []
+        for b in range(self.total_batch_size()):
+            row = []
+            for oc in range(groups):
+                ln, = _struct.unpack("<Q", raw[off:off + 8])
+                off += 8
+                row.append(ser.load_terms(raw[off:off + ln], context, required))
+                off += ln
+            rows.append(row)
+        return Cipher2d(rows)

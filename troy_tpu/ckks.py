@@ -147,20 +147,15 @@ class CKKSEncoder:
         base = cd.rns_tool.base_q
         Q = cd.total_coeff_modulus
         k = cd.limbs
-        invs = [base.inv_punctured(i) for i in range(k)]
-        pps = [base.punctured_prod(i) for i in range(k)]
-        qs = list(base.values)
-        out = np.zeros(self.n, dtype=np.float64)
         half = Q // 2
-        for c in range(self.n):
-            acc = 0
-            for i in range(k):
-                acc += (int(coeffs_rns[i, c]) * invs[i] % qs[i]) * pps[i]
-            acc %= Q
-            if acc > half:
-                acc -= Q
-            out[c] = float(acc)
-        return out
+        acc = np.zeros(self.n, dtype=object)
+        for i in range(k):
+            qi, inv, pp = base.values[i], base.inv_punctured(i), \
+                base.punctured_prod(i)
+            acc += coeffs_rns[i].astype(object) * inv % qi * pp
+        acc %= Q
+        acc = np.where(acc > half, acc - Q, acc)
+        return acc.astype(np.float64)
 
     def decode(self, plain: Plaintext) -> np.ndarray:
         if not plain.is_ntt_form or plain.level is None:

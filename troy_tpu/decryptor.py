@@ -97,17 +97,14 @@ class Decryptor:
         t = int(cd.plain_modulus)
         base = cd.rns_tool.base_q
         # compose each coefficient, times t, centered mod Q
-        norm = 0
         k, n = phase.shape
-        invs = [base.inv_punctured(i) for i in range(k)]
-        pps = [base.punctured_prod(i) for i in range(k)]
-        qs = list(base.values)
-        for c in range(n):
-            acc = 0
-            for i in range(k):
-                acc += (int(phase[i, c]) * invs[i] % qs[i]) * pps[i]
-            v = (acc * t) % Q
-            v = min(v, Q - v)
-            norm = max(norm, v)
+        acc = np.zeros(n, dtype=object)
+        for i in range(k):
+            qi = base.values[i]
+            acc += phase[i].astype(object) * base.inv_punctured(i) % qi \
+                * base.punctured_prod(i)
+        v = acc * t % Q
+        v = np.minimum(v, Q - v)
+        norm = int(v.max())
         budget = (Q // 2).bit_length() - (2 * norm).bit_length()
         return max(budget, 0)

@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from .context import HeContext, ContextData
-from .he_types import Ciphertext, Plaintext, GaloisKeys, KSwitchKeys, RelinKeys
+from .he_types import (Ciphertext, Plaintext, GaloisKeys, KSwitchKeys,
+                       LWECiphertext, RelinKeys)
 from .params import SchemeType
 from .ops import ntt as dntt
 from .ops import poly as dpoly
@@ -708,6 +709,112 @@ class Evaluator:
             raise ValueError("negacyclic shift expects coefficient form")
         data = dpoly.negacyclic_shift(ct.data, shift, cd.ntt)
         return ct.replace(data=data, seed=0)
+
+    # ---- LWE extraction / packing (troy extensions,
+    #      evaluator_cuda.cu:2185-2341) ----
+    def extract_lwe(self, ct: Ciphertext, term: int) -> LWECiphertext:
+        """Extract coefficient `term` as an LWE sample
+        (evaluator_cuda.cu:2216-2249 extractLWE)."""
+        if ct.size != 2:
+            raise ValueError("extract_lwe expects size-2 ciphertexts")
+        if ct.is_ntt_form:
+            return self.extract_lwe(self.transform_from_ntt(ct), term)
+        cd = self._cd(ct)
+        n = cd.n
+        shift = 0 if term == 0 else 2 * n - term
+        c1 = dpoly.negacyclic_shift(ct.data[1], shift, cd.ntt)
+        c0 = ct.data[0][:, term]
+        return LWECiphertext(c1=c1, c0=c0, level=ct.level, scale=ct.scale,
+                             correction_factor=ct.correction_factor)
+
+    def assemble_lwe(self, lwe: LWECiphertext, term: int = 0) -> Ciphertext:
+        """Re-embed an LWE sample as an RLWE ciphertext whose coefficient
+        `term` carries the value (evaluator_cuda.cu:2185-2207)."""
+        cd = self.context.get_context_data(lwe.level)
+        n = cd.n
+        c1 = dpoly.negacyclic_shift(lwe.c1, term, cd.ntt)
+        c0 = jnp.zeros((cd.limbs, n), dtype=jnp.uint64).at[:, term].set(lwe.c0)
+        data = jnp.stack([c0, c1])
+        return Ciphertext(data=data, level=lwe.level, is_ntt_form=False,
+                          scale=lwe.scale,
+                          correction_factor=lwe.correction_factor)
+
+    def divide_by_poly_modulus_degree(self, ct: Ciphertext,
+                                      mul: int = 1) -> Ciphertext:
+        """Multiply every coefficient by n^{-1} (times mul)
+        (evaluator_cuda.cu:2266-2276)."""
+        cd = self._cd(ct)
+        n = cd.n
+        scalars = [numth.invert_mod(n, q) * mul % q for q in cd.coeff_values]
+        return ct.replace(data=dpoly.rns_scalar_mul(ct.data, scalars, cd.ntt),
+                          seed=0)
+
+    def field_trace(self, ct: Ciphertext, automorphism_keys: GaloisKeys,
+                    logn: int = 0) -> Ciphertext:
+        """Trace down to the subfield of degree 2^logn: repeatedly fold with
+        the automorphism x -> x^(m/2^i + 1) (evaluator_cuda.cu:2251-2261).
+        Annihilates all coefficients except multiples of n/2^logn, scaling
+        the survivors by n/2^logn."""
+        poly_degree = self.context.n
+        while poly_degree > (1 << logn):
+            elt = poly_degree + 1
+            rotated = self.apply_galois(ct, elt, automorphism_keys)
+            ct = self.add(ct, rotated)
+            poly_degree >>= 1
+        return ct
+
+    def pack_lwe_ciphertexts(self, lwes: Sequence[LWECiphertext],
+                             automorphism_keys: GaloisKeys) -> Ciphertext:
+        """Pack up to n LWE samples into one RLWE ciphertext via the
+        automorphism tree + field trace (evaluator_cuda.cu:2278-2341)."""
+        count = len(lwes)
+        if count == 0:
+            raise ValueError("no LWE ciphertexts to pack")
+        n = self.context.n
+        if count > n:
+            raise ValueError("too many LWE ciphertexts")
+        cd = self.context.get_context_data(lwes[0].level)
+        is_ckks = cd.scheme == SchemeType.ckks
+        l = 0
+        while (1 << l) < count:
+            l += 1
+
+        zero = self.assemble_lwe(lwes[0], 0)
+        zero = zero.replace(data=jnp.zeros_like(zero.data))
+        rlwes: List[Ciphertext] = []
+        for i in range(1 << l):
+            index = numth.reverse_bits(i, l)
+            if index < count:
+                rlwes.append(self.divide_by_poly_modulus_degree(
+                    self.assemble_lwe(lwes[index], 0)))
+            else:
+                rlwes.append(zero)
+
+        for layer in range(l):
+            gap = 1 << layer
+            shift = n >> (layer + 1)
+            offset = 0
+            while offset < (1 << l):
+                even = rlwes[offset]
+                odd = rlwes[offset + gap]
+                temp = even.replace(
+                    data=dpoly.negacyclic_shift(odd.data, shift, cd.ntt))
+                odd = self.sub(even, temp)
+                even = self.add(even, temp)
+                if is_ckks:
+                    odd = self.transform_to_ntt(odd)
+                odd = self.apply_galois(odd, (1 << (layer + 1)) + 1,
+                                        automorphism_keys)
+                if is_ckks:
+                    odd = self.transform_from_ntt(odd)
+                even = self.add(even, odd)
+                rlwes[offset] = even
+                offset += gap * 2
+
+        ret = rlwes[0]
+        if is_ckks:
+            ret = self.transform_to_ntt(ret)
+        return self.field_trace(ret, automorphism_keys, l)
 
 
 def _scales_close(a: float, b: float) -> bool:

@@ -70,6 +70,17 @@ class Ciphertext(struct.PyTreeNode):
         return self.data.shape[2]
 
 
+class LWECiphertext(struct.PyTreeNode):
+    """An extracted LWE sample per RNS limb (troy extension;
+    ciphertext_cuda.cuh:270-310): decrypts to <c1, s-coeffs> + c0."""
+
+    c1: jnp.ndarray                   # (limbs, n)
+    c0: jnp.ndarray                   # (limbs,)
+    level: int = struct.field(pytree_node=False, default=1)
+    scale: float = struct.field(pytree_node=False, default=1.0)
+    correction_factor: int = struct.field(pytree_node=False, default=1)
+
+
 class SecretKey(struct.PyTreeNode):
     """Secret key: NTT form over the full (key level) modulus
     (secretkey.h:31). data: (key_limbs, n)."""

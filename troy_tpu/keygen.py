@@ -125,6 +125,15 @@ class KeyGenerator:
             keys[int(elt)] = self._generate_one_kswitch_key(rotated)
         return GaloisKeys(keys=keys)
 
+    def create_automorphism_keys(self) -> GaloisKeys:
+        """Galois keys for every power-of-two-plus-one element {2^i + 1},
+        the set the LWE packing tree and field trace use
+        (keygenerator_cuda.cuh:288 createAutomorphismKeys)."""
+        n = self.context.n
+        log_n = n.bit_length() - 1
+        elts = [(1 << i) + 1 for i in range(1, log_n + 1)]
+        return self.create_galois_keys(elts=elts)
+
     # ---- key-switching key for an external old secret key
     # (keygenerator.h createKeySwitchingKey; used by external ksk protocols)
     def create_keyswitch_key(self, old_sk: SecretKey) -> KSwitchKeys:

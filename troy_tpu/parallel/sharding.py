@@ -1,0 +1,79 @@
+"""Multi-chip execution: device meshes and sharded ciphertext batches.
+
+The reference is strictly single-GPU (cudaSetDevice(0) hard-coded,
+reference: src/kernelprovider.cuh:30; no NCCL/MPI anywhere) — its only
+parallelism is SIMT within one chip. This module is where our framework
+goes beyond it: ciphertext-batch data parallelism over a
+``jax.sharding.Mesh`` (DP across chips/hosts over ICI/DCN), with the
+per-ciphertext kernels vmapped inside each shard.
+
+Planned axes (SURVEY.md section 2.2 mapping): ``dp`` ciphertext batches,
+``limb`` RNS-limb parallelism, ``coeff`` coefficient-sharded NTT with
+all-to-all stage exchange.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..context import HeContext, ContextData
+from ..he_types import Ciphertext, RelinKeys
+from ..params import SchemeType
+from .. import evaluator as ev_mod
+
+
+def make_mesh(n_devices: Optional[int] = None,
+              axis_name: str = "dp") -> Mesh:
+    """A 1-D device mesh over the first n_devices local devices."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def shard_batch(mesh: Mesh, data: jnp.ndarray,
+                axis_name: str = "dp") -> jnp.ndarray:
+    """Place a (B, ...) batch with its leading axis split over the mesh."""
+    spec = P(axis_name, *([None] * (data.ndim - 1)))
+    return jax.device_put(data, NamedSharding(mesh, spec))
+
+
+def batched_multiply_relin(context: HeContext, relin_keys: RelinKeys,
+                           mesh: Mesh, axis_name: str = "dp"):
+    """Build a jitted data-parallel batch op: (B, 2, k, n) x2 -> (B, 2, k, n)
+    multiply+relinearize, batch axis sharded over the mesh.
+
+    XLA sees fully replicated tables/keys and a batch-sharded data axis, so
+    the compiled program runs each shard's ciphertexts locally with zero
+    collectives — the DP layout the reference cannot express at all.
+    """
+    cd = context.first_context_data
+    key_cd = context.key_context_data
+    scheme = context.scheme
+    key = relin_keys.keys[2]
+    is_ntt = scheme in (SchemeType.ckks, SchemeType.bgv)
+
+    def one(d1, d2):
+        if scheme == SchemeType.bfv:
+            prod = ev_mod._bfv_multiply(d1, d2, cd)
+        else:
+            prod = ev_mod._ntt_form_multiply(d1, d2, cd)
+        delta = ev_mod._switch_key_core(prod[2], key, cd, key_cd, is_ntt)
+        c0 = ev_mod._add(prod[0][None], delta[0][None], cd)[0]
+        c1 = ev_mod._add(prod[1][None], delta[1][None], cd)[0]
+        return jnp.stack([c0, c1])
+
+    batched = jax.vmap(one)
+    spec = NamedSharding(mesh, P(axis_name))
+
+    @partial(jax.jit, in_shardings=(spec, spec), out_shardings=spec)
+    def run(d1, d2):
+        return batched(d1, d2)
+
+    return run

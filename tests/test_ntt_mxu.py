@@ -1,0 +1,46 @@
+"""MXU 4-step NTT must be bit-identical to the butterfly-network NTT."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from troy_tpu.utils.ntt_tables import make_ntt_tables
+from troy_tpu.ops import ntt as dntt
+from troy_tpu.ops import ntt_mxu
+from troy_tpu.utils import numth
+
+
+@pytest.mark.parametrize("n,bits", [(64, 30), (256, 50), (1024, 60)])
+def test_forward_matches_butterfly(n, bits):
+    q = numth.get_prime(2 * n, bits)
+    ref = dntt.NttTables.from_host(make_ntt_tables(n, q))
+    mxu = ntt_mxu.make_mxu_tables(n, q)
+    rng = np.random.default_rng(n)
+    x = jnp.asarray(rng.integers(0, q, (3, n), dtype=np.uint64))
+    expect = np.asarray(dntt.ntt_forward(x, ref))
+    got = np.asarray(ntt_mxu.ntt_forward_mxu(x, mxu))
+    np.testing.assert_array_equal(got, expect)
+
+
+@pytest.mark.parametrize("n,bits", [(64, 30), (256, 50), (1024, 60)])
+def test_inverse_matches_butterfly(n, bits):
+    q = numth.get_prime(2 * n, bits)
+    ref = dntt.NttTables.from_host(make_ntt_tables(n, q))
+    mxu = ntt_mxu.make_mxu_tables(n, q)
+    rng = np.random.default_rng(n + 1)
+    x = jnp.asarray(rng.integers(0, q, (2, n), dtype=np.uint64))
+    expect = np.asarray(dntt.ntt_inverse(x, ref))
+    got = np.asarray(ntt_mxu.ntt_inverse_mxu(x, mxu))
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_roundtrip_large():
+    n, bits = 4096, 55
+    q = numth.get_prime(2 * n, bits)
+    mxu = ntt_mxu.make_mxu_tables(n, q)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.integers(0, q, (n,), dtype=np.uint64))
+    y = ntt_mxu.ntt_forward_mxu(x, mxu)
+    back = np.asarray(ntt_mxu.ntt_inverse_mxu(y, mxu))
+    np.testing.assert_array_equal(back, np.asarray(x))

@@ -147,6 +147,20 @@ class CKKSEncoder:
         base = cd.rns_tool.base_q
         Q = cd.total_coeff_modulus
         k = cd.limbs
+        from . import native
+        if native.available():
+            w = (Q.bit_length() + 63) // 64
+            words = lambda v: [(v >> (64 * i)) & 0xFFFFFFFFFFFFFFFF
+                               for i in range(w)]
+            invp = [base.inv_punctured(i) for i in range(k)]
+            out = native.crt_compose_centered_double(
+                coeffs_rns, list(base.values), invp,
+                [(x << 64) // q for x, q in zip(invp, base.values)],
+                np.array([words(base.punctured_prod(i)) for i in range(k)],
+                         dtype=np.uint64),
+                np.array(words(Q), dtype=np.uint64), 1.0)
+            if out is not None:
+                return out
         half = Q // 2
         acc = np.zeros(self.n, dtype=object)
         for i in range(k):

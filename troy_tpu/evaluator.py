@@ -180,7 +180,7 @@ def _switch_key_core(target: jnp.ndarray, key: jnp.ndarray,
     outs = []
     for c in range(2):
         x = prods[c]                           # (used, n) NTT
-        last = dntt.ntt_inverse(x[-1], key_tables.limb(kf - 1))
+        last = dntt.ntt_inverse_limb(x[-1], key_tables, kf - 1)
         if scheme == SchemeType.bgv:
             t_plain = int(cd.plain_modulus)
             cr_t_hi = ((1 << 128) // t_plain) >> 64

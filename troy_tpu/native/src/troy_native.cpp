@@ -1,0 +1,291 @@
+// Native host runtime for troy_tpu: XOF expansion and CRT composition.
+//
+// The reference keeps its host runtime in C++ (memory pools, serialization,
+// PRNG buffering — src/randomgen.cpp, src/utils/rns.cpp compose); this is
+// our equivalent for the TPU build's host-side hot paths:
+//   * blake2xb-style XOF stream expansion (bit-exact with troy_tpu.prng,
+//     which builds on hashlib's RFC 7693 blake2b), feeding the RLWE
+//     samplers;
+//   * multiword CRT composition (residues -> centered big integers ->
+//     doubles), the CKKS decode host step (reference rns.cpp composeArray).
+//
+// Built on demand with g++ (see troy_tpu/native/build.py); the Python layer
+// falls back to pure-Python implementations when no toolchain is present.
+
+#include <cstdint>
+#include <cstring>
+#include <cstddef>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// blake2b (RFC 7693), sequential mode, with key and node_offset support.
+// ---------------------------------------------------------------------------
+
+static const uint64_t B2B_IV[8] = {
+    0x6a09e667f3bcc908ULL, 0xbb67ae8584caa73bULL,
+    0x3c6ef372fe94f82bULL, 0xa54ff53a5f1d36f1ULL,
+    0x510e527fade682d1ULL, 0x9b05688c2b3e6c1fULL,
+    0x1f83d9abfb41bd6bULL, 0x5be0cd19137e2179ULL};
+
+static const uint8_t B2B_SIGMA[12][16] = {
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3},
+    {11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4},
+    {7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8},
+    {9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13},
+    {2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9},
+    {12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11},
+    {13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10},
+    {6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5},
+    {10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0},
+    {0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15},
+    {14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3}};
+
+static inline uint64_t rotr64(uint64_t x, int n) {
+    return (x >> n) | (x << (64 - n));
+}
+
+struct B2BState {
+    uint64_t h[8];
+    uint64_t t0, t1;
+    uint8_t buf[128];
+    size_t buflen;
+};
+
+static void b2b_compress(B2BState* s, const uint8_t* block, int last) {
+    uint64_t v[16], m[16];
+    for (int i = 0; i < 8; i++) v[i] = s->h[i];
+    for (int i = 0; i < 8; i++) v[i + 8] = B2B_IV[i];
+    v[12] ^= s->t0;
+    v[13] ^= s->t1;
+    if (last) v[14] = ~v[14];
+    for (int i = 0; i < 16; i++) {
+        uint64_t w = 0;
+        memcpy(&w, block + 8 * i, 8);     // little-endian host assumed
+        m[i] = w;
+    }
+#define B2B_G(a, b, c, d, x, y)                      \
+    v[a] = v[a] + v[b] + (x); v[d] = rotr64(v[d] ^ v[a], 32); \
+    v[c] = v[c] + v[d];       v[b] = rotr64(v[b] ^ v[c], 24); \
+    v[a] = v[a] + v[b] + (y); v[d] = rotr64(v[d] ^ v[a], 16); \
+    v[c] = v[c] + v[d];       v[b] = rotr64(v[b] ^ v[c], 63)
+    for (int r = 0; r < 12; r++) {
+        const uint8_t* g = B2B_SIGMA[r];
+        B2B_G(0, 4, 8, 12, m[g[0]], m[g[1]]);
+        B2B_G(1, 5, 9, 13, m[g[2]], m[g[3]]);
+        B2B_G(2, 6, 10, 14, m[g[4]], m[g[5]]);
+        B2B_G(3, 7, 11, 15, m[g[6]], m[g[7]]);
+        B2B_G(0, 5, 10, 15, m[g[8]], m[g[9]]);
+        B2B_G(1, 6, 11, 12, m[g[10]], m[g[11]]);
+        B2B_G(2, 7, 8, 13, m[g[12]], m[g[13]]);
+        B2B_G(3, 4, 9, 14, m[g[14]], m[g[15]]);
+    }
+#undef B2B_G
+    for (int i = 0; i < 8; i++) s->h[i] ^= v[i] ^ v[i + 8];
+}
+
+static void b2b_init(B2BState* s, size_t digest_len, const uint8_t* key,
+                     size_t key_len, uint64_t node_offset) {
+    // RFC 7693 parameter block: digest, key_len, fanout=1, depth=1,
+    // leaf_length=0, node_offset, node_depth=0, inner_length=0
+    uint8_t p[64];
+    memset(p, 0, sizeof(p));
+    p[0] = (uint8_t)digest_len;
+    p[1] = (uint8_t)key_len;
+    p[2] = 1;
+    p[3] = 1;
+    memcpy(p + 8, &node_offset, 8);
+    for (int i = 0; i < 8; i++) {
+        uint64_t w = 0;
+        memcpy(&w, p + 8 * i, 8);
+        s->h[i] = B2B_IV[i] ^ w;
+    }
+    s->t0 = s->t1 = 0;
+    s->buflen = 0;
+    if (key_len > 0) {
+        uint8_t kb[128];
+        memset(kb, 0, sizeof(kb));
+        memcpy(kb, key, key_len);
+        memcpy(s->buf, kb, 128);
+        s->buflen = 128;
+    }
+}
+
+static void b2b_update(B2BState* s, const uint8_t* in, size_t len) {
+    while (len > 0) {
+        if (s->buflen == 128) {
+            s->t0 += 128;
+            if (s->t0 < 128) s->t1++;
+            b2b_compress(s, s->buf, 0);
+            s->buflen = 0;
+        }
+        size_t take = 128 - s->buflen;
+        if (take > len) take = len;
+        memcpy(s->buf + s->buflen, in, take);
+        s->buflen += take;
+        in += take;
+        len -= take;
+    }
+}
+
+static void b2b_final(B2BState* s, uint8_t* out, size_t digest_len) {
+    s->t0 += (uint64_t)s->buflen;
+    if (s->t0 < (uint64_t)s->buflen) s->t1++;
+    memset(s->buf + s->buflen, 0, 128 - s->buflen);
+    b2b_compress(s, s->buf, 1);
+    uint8_t full[64];
+    memcpy(full, s->h, 64);
+    memcpy(out, full, digest_len);
+}
+
+// blake2xb-style expansion matching troy_tpu.prng._blake2xb:
+//   h0 = blake2b(data, 64, key)
+//   block i = blake2b(h0, digest=min(64, rem), node_offset = i | out_len<<32)
+static void blake2xb(const uint8_t* data, size_t data_len, const uint8_t* key,
+                     size_t key_len, uint8_t* out, uint64_t out_len) {
+    uint8_t h0[64];
+    B2BState s;
+    b2b_init(&s, 64, key, key_len, 0);
+    b2b_update(&s, data, data_len);
+    b2b_final(&s, h0, 64);
+    uint64_t i = 0;
+    uint64_t rem = out_len;
+    while (rem > 0) {
+        size_t blk = rem < 64 ? (size_t)rem : 64;
+        B2BState bs;
+        b2b_init(&bs, blk, nullptr, 0, i | (out_len << 32));
+        b2b_update(&bs, h0, 64);
+        b2b_final(&bs, out, blk);
+        out += blk;
+        rem -= blk;
+        i++;
+    }
+}
+
+// The buffered stream: 4096-byte refills keyed by a block counter
+// (troy_tpu.prng.UniformRandomGenerator._refill_block). Fills `nbytes`
+// starting at stream block `counter0` (byte offset counter0*4096).
+void xof_fill(const uint8_t* seed64, uint64_t counter0, uint8_t* out,
+              uint64_t nbytes) {
+    uint64_t counter = counter0;
+    while (nbytes > 0) {
+        uint8_t ctr_le[8];
+        memcpy(ctr_le, &counter, 8);
+        uint64_t take = nbytes < 4096 ? nbytes : 4096;
+        if (take == 4096) {
+            blake2xb(ctr_le, 8, seed64, 64, out, 4096);
+        } else {
+            uint8_t tmp[4096];
+            blake2xb(ctr_le, 8, seed64, 64, tmp, 4096);
+            memcpy(out, tmp, take);
+        }
+        out += take;
+        nbytes -= take;
+        counter++;
+    }
+}
+
+// ---------------------------------------------------------------------------
+// Multiword CRT composition (reference rns.cpp composeArray analogue).
+// ---------------------------------------------------------------------------
+
+typedef unsigned __int128 u128;
+
+// acc (w+1 words) += a * b (b: w words), little-endian u64 words
+static inline void mul_acc_word(uint64_t* acc, const uint64_t* b, uint64_t a,
+                                size_t w) {
+    uint64_t carry = 0;
+    for (size_t i = 0; i < w; i++) {
+        u128 p = (u128)a * b[i] + acc[i] + carry;
+        acc[i] = (uint64_t)p;
+        carry = (uint64_t)(p >> 64);
+    }
+    acc[w] += carry;
+}
+
+static inline int cmp_words(const uint64_t* a, const uint64_t* b, size_t w) {
+    for (size_t i = w; i-- > 0;) {
+        if (a[i] != b[i]) return a[i] < b[i] ? -1 : 1;
+    }
+    return 0;
+}
+
+static inline void sub_words(uint64_t* a, const uint64_t* b, size_t w) {
+    uint64_t borrow = 0;
+    for (size_t i = 0; i < w; i++) {
+        uint64_t bi = b[i] + borrow;
+        borrow = (bi < borrow) || (a[i] < bi);
+        a[i] = a[i] - bi;
+    }
+}
+
+static inline uint64_t mulmod_shoup(uint64_t x, uint64_t y, uint64_t y_shoup,
+                                    uint64_t q) {
+    uint64_t hi = (uint64_t)(((u128)x * y_shoup) >> 64);
+    uint64_t r = x * y - hi * q;
+    return r >= q ? r - q : r;
+}
+
+// residues: (k, n) row-major; punctured: (k, w); Q: (w); out: (n) doubles,
+// centered mod Q and multiplied by inv_scale.
+void crt_compose_centered_double(
+        const uint64_t* residues, uint64_t k, uint64_t n,
+        const uint64_t* moduli, const uint64_t* inv_punctured,
+        const uint64_t* inv_punctured_shoup, const uint64_t* punctured,
+        const uint64_t* Q, uint64_t w, double inv_scale, double* out) {
+    uint64_t* acc = new uint64_t[w + 1];
+    uint64_t* half = new uint64_t[w + 1];
+    // half = Q / 2 (Q occupies w words; acc uses w+1 to absorb the k sums)
+    uint64_t carry = 0;
+    for (size_t i = w; i-- > 0;) {
+        uint64_t cur = Q[i];
+        half[i] = (cur >> 1) | (carry << 63);
+        carry = cur & 1;
+    }
+    half[w] = 0;
+    uint64_t* Qw = new uint64_t[w + 1];
+    memcpy(Qw, Q, w * 8);
+    Qw[w] = 0;
+
+    for (uint64_t c = 0; c < n; c++) {
+        memset(acc, 0, (w + 1) * 8);
+        for (uint64_t i = 0; i < k; i++) {
+            uint64_t r = residues[i * n + c];
+            uint64_t t = mulmod_shoup(r, inv_punctured[i],
+                                      inv_punctured_shoup[i], moduli[i]);
+            mul_acc_word(acc, punctured + i * w, t, w);
+        }
+        // reduce mod Q by repeated subtraction (acc < k*Q, k small)
+        while (cmp_words(acc, Qw, w + 1) >= 0) sub_words(acc, Qw, w + 1);
+        int negative = cmp_words(acc, half, w + 1) > 0;
+        if (negative) {
+            // value - Q  (compute Q - acc, then negate the double)
+            uint64_t* tmp = new uint64_t[w + 1];
+            memcpy(tmp, Qw, (w + 1) * 8);
+            sub_words(tmp, acc, w + 1);
+            double v = 0.0, p = 1.0;
+            for (size_t i = 0; i < w + 1; i++) {
+                v += (double)tmp[i] * p;
+                p *= 18446744073709551616.0;
+            }
+            out[c] = -v * inv_scale;
+            delete[] tmp;
+        } else {
+            double v = 0.0, p = 1.0;
+            for (size_t i = 0; i < w + 1; i++) {
+                v += (double)acc[i] * p;
+                p *= 18446744073709551616.0;
+            }
+            out[c] = v * inv_scale;
+        }
+    }
+    delete[] acc;
+    delete[] half;
+    delete[] Qw;
+}
+
+// mul_acc_word overflows into the top word only while accumulating; the
+// caller guarantees k*Q < 2^(64*(w+1)).
+
+}  // extern "C"

@@ -17,7 +17,7 @@ Two table flavors:
 from __future__ import annotations
 
 from functools import partial
-from typing import Sequence, Tuple
+from typing import Optional, Sequence, Tuple
 
 import numpy as np
 import jax
@@ -25,9 +25,14 @@ import jax.numpy as jnp
 from flax import struct
 
 from . import u64ops as u
+from . import ntt_mxu
 from ..utils.ntt_tables import NttTablesHost, make_ntt_tables
 
 U64 = jnp.uint64
+
+# Above this size the 4-step MXU transform replaces the butterfly network
+# (two systolic-array matmuls instead of log2(n) HBM sweeps; see ntt_mxu).
+MXU_MIN_N = 2048
 
 
 class NttTables(struct.PyTreeNode):
@@ -43,10 +48,14 @@ class NttTables(struct.PyTreeNode):
     const_ratio: Tuple[int, int, int] = struct.field(pytree_node=False)
     inv_degree: int = struct.field(pytree_node=False)
     inv_degree_shoup: int = struct.field(pytree_node=False)
+    mxu: Optional[ntt_mxu.MxuNttTables] = None
 
     @classmethod
     def from_host(cls, h: NttTablesHost) -> "NttTables":
+        mxu = ntt_mxu.make_mxu_tables(h.n, h.modulus) \
+            if h.n >= MXU_MIN_N else None
         return cls(
+            mxu=mxu,
             root_powers=jnp.asarray(h.root_powers),
             root_powers_shoup=jnp.asarray(h.root_powers_shoup),
             inv_root_powers=jnp.asarray(h.inv_root_powers),
@@ -80,13 +89,20 @@ class RnsNttTables(struct.PyTreeNode):
     n: int = struct.field(pytree_node=False)
     log_n: int = struct.field(pytree_node=False)
     values: Tuple[int, ...] = struct.field(pytree_node=False)
+    mxu: Optional[Tuple[ntt_mxu.MxuNttTables, ...]] = None
 
     @classmethod
-    def from_moduli(cls, n: int, moduli: Sequence[int]) -> "RnsNttTables":
+    def from_moduli(cls, n: int, moduli: Sequence[int],
+                    use_mxu: Optional[bool] = None) -> "RnsNttTables":
         hosts = [make_ntt_tables(n, int(q)) for q in moduli]
+        if use_mxu is None:
+            use_mxu = n >= MXU_MIN_N
+        mxu = tuple(ntt_mxu.make_mxu_tables(n, int(q)) for q in moduli) \
+            if use_mxu else None
         as_u64 = lambda vals: jnp.asarray(
             np.array([v & 0xFFFFFFFFFFFFFFFF for v in vals], dtype=np.uint64))
         return cls(
+            mxu=mxu,
             root_powers=jnp.stack([jnp.asarray(h.root_powers) for h in hosts]),
             root_powers_shoup=jnp.stack(
                 [jnp.asarray(h.root_powers_shoup) for h in hosts]),
@@ -127,6 +143,8 @@ class RnsNttTables(struct.PyTreeNode):
         idx = jnp.asarray(np.array(indices, dtype=np.int32))
         take = lambda a: jnp.take(a, idx, axis=0)
         return RnsNttTables(
+            mxu=tuple(self.mxu[i] for i in indices)
+            if self.mxu is not None else None,
             root_powers=take(self.root_powers),
             root_powers_shoup=take(self.root_powers_shoup),
             inv_root_powers=take(self.inv_root_powers),
@@ -143,6 +161,7 @@ class RnsNttTables(struct.PyTreeNode):
     def slice(self, start: int, stop: int) -> "RnsNttTables":
         """Sub-base view over limbs [start, stop)."""
         return RnsNttTables(
+            mxu=self.mxu[start:stop] if self.mxu is not None else None,
             root_powers=self.root_powers[start:stop],
             root_powers_shoup=self.root_powers_shoup[start:stop],
             inv_root_powers=self.inv_root_powers[start:stop],
@@ -169,6 +188,8 @@ def ntt_forward(x: jnp.ndarray, t: NttTables, lazy: bool = False) -> jnp.ndarray
     Output: NTT values in bit-reversed evaluation order, in [0, q)
     (or [0, 4q) if lazy=True).
     """
+    if t.mxu is not None:
+        return ntt_mxu.ntt_forward_mxu(x, t.mxu)
     n, q = t.n, t.modulus
     q2 = u.u64(2 * q)
     lead = x.shape[:-1]
@@ -197,6 +218,8 @@ def ntt_inverse(x: jnp.ndarray, t: NttTables, lazy: bool = False) -> jnp.ndarray
     """Inverse negacyclic NTT over the last axis (Gentleman–Sande), including
     the n^{-1} scaling. Input in [0, q) (accepts up to [0, 2q) lazily),
     output in [0, q) (or [0, 2q) if lazy=True)."""
+    if t.mxu is not None:
+        return ntt_mxu.ntt_inverse_mxu(x, t.mxu)
     n, q = t.n, t.modulus
     q2 = u.u64(2 * q)
     lead = x.shape[:-1]
@@ -251,7 +274,14 @@ def _bshape(t: RnsNttTables, lead_len: int, m: int) -> Tuple[int, ...]:
 @partial(jax.jit, static_argnames=("lazy",))
 def rns_ntt_forward(x: jnp.ndarray, t: RnsNttTables,
                     lazy: bool = False) -> jnp.ndarray:
-    """Forward NTT of every limb: (..., k, n) -> (..., k, n)."""
+    """Forward NTT of every limb: (..., k, n) -> (..., k, n).
+
+    Dispatches to the MXU 4-step transform when available (its output is
+    always fully reduced, which satisfies every lazy-bound caller)."""
+    if t.mxu is not None:
+        return jnp.stack(
+            [ntt_mxu.ntt_forward_mxu(x[..., i, :], t.mxu[i])
+             for i in range(t.k)], axis=-2)
     n = t.n
     lead = x.shape[:-2]
     L = len(lead)
@@ -284,6 +314,10 @@ def rns_ntt_inverse(x: jnp.ndarray, t: RnsNttTables,
                     lazy: bool = False) -> jnp.ndarray:
     """Inverse NTT of every limb: (..., k, n) -> (..., k, n), including the
     n^{-1} scaling."""
+    if t.mxu is not None:
+        return jnp.stack(
+            [ntt_mxu.ntt_inverse_mxu(x[..., i, :], t.mxu[i])
+             for i in range(t.k)], axis=-2)
     n = t.n
     lead = x.shape[:-2]
     L = len(lead)
@@ -313,6 +347,22 @@ def rns_ntt_inverse(x: jnp.ndarray, t: RnsNttTables,
     if not lazy:
         v = jnp.where(v >= qn, v - qn, v)
     return v
+
+
+def ntt_forward_limb(x: jnp.ndarray, t: RnsNttTables, i: int,
+                     lazy: bool = False) -> jnp.ndarray:
+    """Forward NTT of one limb of an RNS base (MXU-dispatched)."""
+    if t.mxu is not None:
+        return ntt_mxu.ntt_forward_mxu(x, t.mxu[i])
+    return ntt_forward(x, t.limb(i), lazy=lazy)
+
+
+def ntt_inverse_limb(x: jnp.ndarray, t: RnsNttTables, i: int,
+                     lazy: bool = False) -> jnp.ndarray:
+    """Inverse NTT of one limb of an RNS base (MXU-dispatched)."""
+    if t.mxu is not None:
+        return ntt_mxu.ntt_inverse_mxu(x, t.mxu[i])
+    return ntt_inverse(x, t.limb(i), lazy=lazy)
 
 
 @jax.jit

@@ -1,0 +1,255 @@
+"""MXU-accelerated negacyclic NTT: the 4-step transform as two modular
+matrix multiplications on the TPU systolic array.
+
+This is the TPU-native redesign of the reference's butterfly NTT
+(reference: src/kernelutils.cu:330-476 runs one kernel launch per layer —
+log2(n) passes over HBM). Here the size-n transform factors as
+n = A x B:
+
+    out = ((W1 @ C) * Tw) @ W2          (all mod q)
+
+where C is the coefficient array reshaped (A, B), W1/W2 are A x A / B x B
+constant matrices absorbing the negacyclic twist (psi^k), the 1/n scaling
+(inverse), and the bit-reversed output permutation, and Tw is an A x B
+twiddle grid. Two MXU passes + one VPU twiddle pass replace log2(n) HBM
+sweeps.
+
+Exact integer semantics on a float/int8 systolic array via signed radix-256
+digit planes: x = sum_i 2^{8i} d_i with d_i in [-128, 127]. A digit-plane
+product W @ C becomes one int8 matmul of the stacked planes with i32
+accumulation (max |d|^2 * contraction = 128^2*128 = 2^21 per plane pair,
+summed over <=15 diagonal groups — far inside i32). Digit products are
+regrouped in radix 2^32 before the final Shoup fold back to [0, q).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache, partial
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from . import u64ops as u
+from ..utils import numth
+
+U64 = jnp.uint64
+DIGITS = 8          # radix-256 planes covering 64 bits
+GROUPS = 4          # recombination groups of 4 digit-sums (radix 2^32)
+
+
+def _split_factors(n: int) -> Tuple[int, int]:
+    """n = A * B with A, B as close to square as possible (A >= B)."""
+    log_n = n.bit_length() - 1
+    a = 1 << ((log_n + 1) // 2)
+    return a, n // a
+
+
+def _signed_digits_host(mat: np.ndarray) -> np.ndarray:
+    """u64 matrix -> (DIGITS, ...) int8 signed radix-256 planes (exact)."""
+    out = np.zeros((DIGITS,) + mat.shape, dtype=np.int64)
+    rem = mat.astype(object)
+    carry = np.zeros(mat.shape, dtype=object)
+    for i in range(DIGITS):
+        d = (rem & 0xFF) + carry
+        carry = np.where(d >= 128, 1, 0)
+        d = np.where(d >= 128, d - 256, d)
+        out[i] = d.astype(np.int64)
+        rem = rem >> 8
+    assert (rem + carry == 0).all(), "value exceeded 61-bit digit range"
+    return out.astype(np.int8)
+
+
+class MxuNttTables(struct.PyTreeNode):
+    """Constant matrices for one (n, q): forward and inverse 4-step factors,
+    as int8 digit planes (matmul operands) plus u64 twiddles (VPU pass)."""
+
+    w1_digits: jnp.ndarray       # (DIGITS, A, A) int8
+    w2_digits: jnp.ndarray       # (DIGITS, B, B) int8
+    tw: jnp.ndarray              # (A, B) u64
+    tw_shoup: jnp.ndarray        # (A, B) u64
+    iw1_digits: jnp.ndarray      # (DIGITS, A, A) int8
+    iw2_digits: jnp.ndarray      # (DIGITS, B, B) int8
+    itw: jnp.ndarray             # (A, B) u64
+    itw_shoup: jnp.ndarray       # (A, B) u64
+    n: int = struct.field(pytree_node=False)
+    a: int = struct.field(pytree_node=False)
+    b: int = struct.field(pytree_node=False)
+    modulus: int = struct.field(pytree_node=False)
+
+
+@lru_cache(maxsize=None)
+def make_mxu_tables_host(n: int, q: int):
+    """Host precompute of the 4-step factor matrices (numpy, exact ints)."""
+    A, B = _split_factors(n)
+    log_a, log_b = A.bit_length() - 1, B.bit_length() - 1
+    psi = numth.minimal_primitive_root(2 * n, q)     # 2n-th root
+    omega = pow(psi, 2, q)                           # n-th root
+    inv_psi = numth.invert_mod(psi, q)
+    inv_omega = numth.invert_mod(omega, q)
+    inv_a = numth.invert_mod(A, q)
+    inv_b = numth.invert_mod(B, q)
+
+    brv_a = [numth.reverse_bits(i, log_a) for i in range(A)]
+    brv_b = [numth.reverse_bits(i, log_b) for i in range(B)]
+
+    # forward: out[p1, p2] = sum_b [sum_a c[a,b] W1[p1,a]] Tw[p1,b] W2[b,p2]
+    #   W1[p1, a] = omega^(B*a*brv_a[p1]) * psi^(a*B)
+    #   Tw[p1, b] = psi^b * omega^(b*brv_a[p1])
+    #   W2[b, p2] = omega^(A*b*brv_b[p2])
+    w1 = np.array([[pow(omega, (B * a * brv_a[p]) % n, q) * pow(psi, a * B, q) % q
+                    for a in range(A)] for p in range(A)], dtype=object)
+    tw = np.array([[pow(psi, b, q) * pow(omega, (b * brv_a[p]) % n, q) % q
+                    for b in range(B)] for p in range(A)], dtype=object)
+    w2 = np.array([[pow(omega, (A * b * brv_b[p]) % n, q)
+                    for p in range(B)] for b in range(B)], dtype=object)
+
+    # inverse of out = ((W1 C) . Tw) W2:
+    #   Y = (OUT @ V2) / Tw ; C = V1 @ Y
+    #   V2[p2, b] = (1/B) omega^(-A*b*brv_b[p2])
+    #   iTw[p1, b] = psi^(-b) omega^(-b*brv_a[p1])
+    #   V1[a, p1] = (1/A) omega^(-B*a*brv_a[p1]) psi^(-a*B)
+    v2 = np.array([[inv_b * pow(inv_omega, (A * b * brv_b[p]) % n, q) % q
+                    for b in range(B)] for p in range(B)], dtype=object)
+    itw = np.array([[pow(inv_psi, b, q) * pow(inv_omega, (b * brv_a[p]) % n, q) % q
+                     for b in range(B)] for p in range(A)], dtype=object)
+    v1 = np.array([[inv_a * pow(inv_omega, (B * a * brv_a[p]) % n, q) % q
+                    * pow(inv_psi, (a * B) % (2 * n), q) % q
+                    for p in range(A)] for a in range(A)], dtype=object)
+    return A, B, w1, tw, w2, v1, itw, v2
+
+
+def make_mxu_tables(n: int, q: int) -> MxuNttTables:
+    A, B, w1, tw, w2, v1, itw, v2 = make_mxu_tables_host(n, q)
+    shoup = np.vectorize(lambda w: (int(w) << 64) // q, otypes=[object])
+    as_u64 = lambda m: jnp.asarray(
+        np.array([[int(x) & 0xFFFFFFFFFFFFFFFF for x in row] for row in m],
+                 dtype=np.uint64))
+    return MxuNttTables(
+        w1_digits=jnp.asarray(_signed_digits_host(w1)),
+        w2_digits=jnp.asarray(_signed_digits_host(w2)),
+        tw=as_u64(tw),
+        tw_shoup=as_u64(shoup(tw)),
+        iw1_digits=jnp.asarray(_signed_digits_host(v1)),
+        iw2_digits=jnp.asarray(_signed_digits_host(v2)),
+        itw=as_u64(itw),
+        itw_shoup=as_u64(shoup(itw)),
+        n=n, a=A, b=B, modulus=q,
+    )
+
+
+# ---------------------------------------------------------------------------
+# device pipeline
+# ---------------------------------------------------------------------------
+
+def _digits_device(x: jnp.ndarray) -> jnp.ndarray:
+    """u64 (..., R, C) -> int8 (DIGITS, ..., R, C) signed radix-256 planes."""
+    planes = []
+    carry = jnp.zeros(x.shape, dtype=jnp.int32)
+    rem = x
+    for i in range(DIGITS):
+        d = (rem & jnp.uint64(0xFF)).astype(jnp.int32) + carry
+        carry = (d >= 128).astype(jnp.int32)
+        d = d - 256 * carry
+        planes.append(d.astype(jnp.int8))
+        rem = rem >> jnp.uint64(8)
+    return jnp.stack(planes)
+
+
+def _mod_matmul(w_digits: jnp.ndarray, x: jnp.ndarray, q: int,
+                contract_left: bool) -> jnp.ndarray:
+    """Exact (W @ X) mod q (or (X @ W) if not contract_left).
+
+    w_digits: (DIGITS, R, R) int8; x: (..., R, C) u64 (any residues < 2^61).
+    One int8 MXU matmul over the stacked digit planes, diagonal-group
+    regrouped in radix 2^32, Shoup-folded to [0, q).
+    """
+    xd = _digits_device(x)                   # (D, ..., R, C)
+    D = DIGITS
+    # contraction via dot_general: stack W planes on rows, X planes on cols
+    if contract_left:
+        # (D*R, R) @ (..., R, D*C) -> (..., D*R, D*C)
+        lead = x.shape[:-2]
+        R, C = x.shape[-2], x.shape[-1]
+        wd = w_digits.reshape(D * w_digits.shape[1], w_digits.shape[2])
+        xt = jnp.moveaxis(xd, 0, -2)         # (..., R, D, C)
+        xt = xt.reshape(lead + (R, D * C))
+        prod = jax.lax.dot_general(
+            wd.astype(jnp.int8), xt,
+            dimension_numbers=(((1,), (len(lead),)), ((), ())),
+            preferred_element_type=jnp.int32)     # (D*R', ..., D*C)
+        prod = jnp.moveaxis(prod, 0, -2)          # (..., D*R', D*C)
+        Rp = w_digits.shape[1]
+        prod = prod.reshape(lead + (D, Rp, D, C))
+        prod = jnp.moveaxis(prod, -2, -3)         # (..., D, D, Rp, C)
+    else:
+        # (..., R, C) @ (C, C'): rows stack the X planes, cols the W planes
+        lead = x.shape[:-2]
+        R, C = x.shape[-2], x.shape[-1]
+        wd = w_digits                              # (D, C, C')
+        Cp = wd.shape[2]
+        wt = jnp.moveaxis(wd, 0, 1).reshape(C, D * Cp)
+        xt = jnp.moveaxis(xd, 0, -2).reshape(lead + (R * D, C))
+        prod = jax.lax.dot_general(
+            xt, wt,
+            dimension_numbers=(((len(lead) + 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)      # (..., R*D, D*Cp)
+        prod = prod.reshape(lead + (R, D, D, Cp))  # (r, i, j, p2)
+        prod = jnp.moveaxis(prod, -4, -2)          # (..., D, D, R, Cp)
+
+    # group by digit-sum s = i + j (i: W digit if contract_left else X digit)
+    lead2 = prod.shape[:-4]
+    rows, cols = prod.shape[-2], prod.shape[-1]
+    sums = [jnp.zeros(lead2 + (rows, cols), dtype=jnp.int32)
+            for _ in range(2 * D - 1)]
+    for i in range(D):
+        for j in range(D):
+            sums[i + j] = sums[i + j] + prod[..., i, j, :, :]
+
+    # radix-2^32 regroup: U_g = sum_{r<4} T_{4g+r} * 2^{8r}   (|U_g| < 2^52)
+    out = None
+    m_off = None
+    for g in range(GROUPS):
+        acc = jnp.zeros(lead2 + (rows, cols), dtype=jnp.int64)
+        for r in range(4):
+            s = 4 * g + r
+            if s < 2 * D - 1:
+                acc = acc + sums[s].astype(jnp.int64) * (1 << (8 * r))
+        # lift signed -> u64 residue: add a multiple of q >= 2^53
+        if m_off is None:
+            m_off = ((1 << 53) // q + 1) * q
+        av = (acc + jnp.int64(m_off)).astype(U64)
+        scale = pow(2, 32 * g, q)
+        term = u.mul_mod_shoup(av, u.u64(scale), u.u64((scale << 64) // q), q)
+        out = term if out is None else u.add_mod(out, term, q)
+    return out
+
+
+@partial(jax.jit, static_argnames=())
+def ntt_forward_mxu(x: jnp.ndarray, t: MxuNttTables) -> jnp.ndarray:
+    """Forward negacyclic NTT over the last axis via two MXU matmuls.
+    Bit-for-bit the same scrambled output as ops.ntt.ntt_forward, fully
+    reduced to [0, q). Accepts lazy inputs (any u64 residues)."""
+    q = t.modulus
+    lead = x.shape[:-1]
+    x = u.barrett_reduce_64(x, q, ((1 << 128) // q) >> 64)
+    c = x.reshape(lead + (t.a, t.b))
+    y = _mod_matmul(t.w1_digits, c, q, contract_left=True)      # (.., A, B)
+    y = u.mul_mod_shoup(y, t.tw, t.tw_shoup, q)
+    z = _mod_matmul(t.w2_digits, y, q, contract_left=False)     # (.., A, B)
+    return z.reshape(lead + (t.n,))
+
+
+@partial(jax.jit, static_argnames=())
+def ntt_inverse_mxu(x: jnp.ndarray, t: MxuNttTables) -> jnp.ndarray:
+    """Inverse negacyclic NTT (including 1/n), matching ops.ntt.ntt_inverse."""
+    q = t.modulus
+    lead = x.shape[:-1]
+    x = u.barrett_reduce_64(x, q, ((1 << 128) // q) >> 64)
+    z = x.reshape(lead + (t.a, t.b))
+    y = _mod_matmul(t.iw2_digits, z, q, contract_left=False)
+    y = u.mul_mod_shoup(y, t.itw, t.itw_shoup, q)
+    c = _mod_matmul(t.iw1_digits, y, q, contract_left=True)
+    return c.reshape(lead + (t.n,))

@@ -220,7 +220,7 @@ def divide_and_round_q_last_ntt(
     k = len(qv)
     q_last = qv[-1]
     half = q_last >> 1
-    last = dntt.ntt_inverse(x[..., k - 1, :], tables.limb(k - 1))
+    last = dntt.ntt_inverse_limb(x[..., k - 1, :], tables, k - 1)
     last = u.add_mod(last, u.u64(half), q_last)
     temps = []
     for i in range(k - 1):
@@ -254,7 +254,7 @@ def mod_t_and_divide_q_last_ntt(
     k = len(qv)
     q_last = qv[-1]
     cr_t_hi = ((1 << 128) // t) >> 64
-    last = dntt.ntt_inverse(x[..., k - 1, :], tables.limb(k - 1))
+    last = dntt.ntt_inverse_limb(x[..., k - 1, :], tables, k - 1)
     # neg_k = -(c_last mod t) * q_last^{-1} mod t
     neg_k = u.neg_mod(u.barrett_reduce_64(last, t, cr_t_hi), t)
     if tool.inv_q_last_mod_t != 1:

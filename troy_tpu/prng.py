@@ -97,6 +97,18 @@ class UniformRandomGenerator:
         out = bytearray()
         while byte_count > 0:
             if self._offset >= len(self._buffer):
+                # bulk fast path: whole blocks straight from the native XOF
+                if (byte_count >= _BUFFER_SIZE
+                        and self._type == PrngType.blake2xb):
+                    from . import native
+                    n_blocks = byte_count // _BUFFER_SIZE
+                    chunk = native.xof_fill(self._seed, self._counter,
+                                            n_blocks * _BUFFER_SIZE)
+                    if chunk is not None:
+                        out += chunk
+                        self._counter += n_blocks
+                        byte_count -= len(chunk)
+                        continue
                 self._buffer = self._refill_block(self._counter)
                 self._counter += 1
                 self._offset = 0

@@ -83,12 +83,13 @@ class ContextData(struct.PyTreeNode):
 
 
 def _build_context_data(parms: EncryptionParameters, chain_index: int,
-                        qualifiers: EncryptionParameterQualifiers) -> ContextData:
+                        qualifiers: EncryptionParameterQualifiers,
+                        use_mxu=None) -> ContextData:
     n = parms.poly_modulus_degree
     values = parms.coeff_values
     t = int(parms.plain_modulus)
 
-    ntt = RnsNttTables.from_moduli(n, values)
+    ntt = RnsNttTables.from_moduli(n, values, use_mxu=use_mxu)
 
     plain_ntt = None
     if qualifiers.using_batching:
@@ -98,7 +99,8 @@ def _build_context_data(parms: EncryptionParameters, chain_index: int,
 
     bsk_ntt = None
     if parms.scheme == SchemeType.bfv:
-        bsk_ntt = RnsNttTables.from_moduli(n, rns_tool.base_Bsk.values)
+        bsk_ntt = RnsNttTables.from_moduli(n, rns_tool.base_Bsk.values,
+                                           use_mxu=use_mxu)
 
     Q = 1
     for v in values:
@@ -153,13 +155,15 @@ class HeContext:
 
     def __init__(self, parms: EncryptionParameters,
                  expand_mod_chain: bool = True,
-                 sec_level: SecurityLevel = SecurityLevel.tc128):
+                 sec_level: SecurityLevel = SecurityLevel.tc128,
+                 use_mxu: bool = None):
         qualifiers = validate(parms, sec_level)
         if not qualifiers.parameters_set:
             raise ValueError(f"invalid encryption parameters: "
                              f"{qualifiers.error_message}")
         self.sec_level = sec_level
-        chain: List[ContextData] = [_build_context_data(parms, 0, qualifiers)]
+        chain: List[ContextData] = [
+            _build_context_data(parms, 0, qualifiers, use_mxu)]
 
         self._using_keyswitching = len(parms.coeff_modulus) > 1
         if self._using_keyswitching:
@@ -170,7 +174,7 @@ class HeContext:
                 if not q.parameters_set:
                     raise ValueError(f"invalid parameters at chain level {idx}: "
                                      f"{q.error_message}")
-                chain.append(_build_context_data(level_parms, idx, q))
+                chain.append(_build_context_data(level_parms, idx, q, use_mxu))
                 if not expand_mod_chain or len(level_parms.coeff_modulus) == 1:
                     break
                 level_parms = level_parms.drop_last()

@@ -32,7 +32,9 @@ U64 = jnp.uint64
 
 # Above this size the 4-step MXU transform replaces the butterfly network
 # (two systolic-array matmuls instead of log2(n) HBM sweeps; see ntt_mxu).
-MXU_MIN_N = 2048
+# Overridable for experiments/dry runs via TROY_TPU_MXU_MIN_N.
+import os as _os
+MXU_MIN_N = int(_os.environ.get("TROY_TPU_MXU_MIN_N", "2048"))
 
 
 class NttTables(struct.PyTreeNode):

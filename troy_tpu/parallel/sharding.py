@@ -77,3 +77,41 @@ def batched_multiply_relin(context: HeContext, relin_keys: RelinKeys,
         return batched(d1, d2)
 
     return run
+
+
+def coeff_sharded_multiply_relin(context: HeContext, relin_keys: RelinKeys,
+                                 mesh: Mesh, axis_name: str = "dp"):
+    """Single-ciphertext multiply+relinearize with the COEFFICIENT axis
+    sharded over the mesh — the reference's impossible-by-design scaling
+    axis (its N<=131072 ceiling is one GPU, defines.h:30).
+
+    The 4-step MXU NTT makes this natural for GSPMD: stage-1 matmuls
+    partition over the free (column) axis, the inter-stage transpose
+    becomes an all-to-all over ICI, stage-2 partitions over rows; XLA
+    inserts the collectives from the sharding annotations alone (the
+    scaling-book recipe: annotate, compile, let GSPMD place collectives).
+    """
+    cd = context.first_context_data
+    key_cd = context.key_context_data
+    scheme = context.scheme
+    key = relin_keys.keys[2]
+    is_ntt = scheme in (SchemeType.ckks, SchemeType.bgv)
+
+    def one(d1, d2):
+        if scheme == SchemeType.bfv:
+            prod = ev_mod._bfv_multiply(d1, d2, cd)
+        else:
+            prod = ev_mod._ntt_form_multiply(d1, d2, cd)
+        delta = ev_mod._switch_key_core(prod[2], key, cd, key_cd, is_ntt)
+        c0 = ev_mod._add(prod[0][None], delta[0][None], cd)[0]
+        c1 = ev_mod._add(prod[1][None], delta[1][None], cd)[0]
+        return jnp.stack([c0, c1])
+
+    # (size, k, n): shard the polynomial-coefficient axis
+    spec = NamedSharding(mesh, P(None, None, axis_name))
+
+    @partial(jax.jit, in_shardings=(spec, spec), out_shardings=spec)
+    def run(d1, d2):
+        return one(d1, d2)
+
+    return run

@@ -31,6 +31,11 @@ from .decryptor import Decryptor  # noqa: E402
 from .encoder import BatchEncoder  # noqa: E402
 from .ckks import CKKSEncoder  # noqa: E402
 from .evaluator import Evaluator  # noqa: E402
+from . import valcheck  # noqa: E402
+from .hexpoly import (  # noqa: E402
+    poly_to_hex_string, hex_string_to_poly,
+    plaintext_to_string, plaintext_from_string,
+)
 
 __version__ = "0.1.0"
 
@@ -41,5 +46,7 @@ __all__ = [
     "Plaintext", "Ciphertext", "SecretKey", "PublicKey",
     "KSwitchKeys", "RelinKeys", "GaloisKeys",
     "KeyGenerator", "Encryptor", "Decryptor", "BatchEncoder", "CKKSEncoder",
-    "Evaluator",
+    "Evaluator", "valcheck",
+    "poly_to_hex_string", "hex_string_to_poly",
+    "plaintext_to_string", "plaintext_from_string",
 ]

@@ -69,6 +69,18 @@ class Encryptor:
         return rlwe.encrypt_zero_symmetric(
             cd, self._sk, self._prng, is_ntt_form, save_seed)
 
+    @staticmethod
+    def _pad(data, n: int):
+        """Zero-pad a coefficient-form plaintext to length n (the reference
+        accepts any plain_coeff_count <= n, e.g. hex-poly literals)."""
+        import jax.numpy as jnp
+        c = data.shape[-1]
+        if c == n:
+            return data
+        if c > n:
+            raise ValueError(f"plaintext has {c} coefficients > n={n}")
+        return jnp.pad(data, (0, n - c))
+
     def _encrypt_internal(self, plain: Plaintext, asymmetric: bool,
                           save_seed: bool) -> Ciphertext:
         scheme = self.context.scheme
@@ -79,7 +91,7 @@ class Encryptor:
             ct = self._zero(cd, False, asymmetric, save_seed)
             # c0 += round(Q/t * m)  (encryptor.cpp multiplyAddPlainWithScalingVariant)
             c0 = dpoly.bfv_multiply_add_plain(
-                plain.data, ct.data[0],
+                self._pad(plain.data, cd.n), ct.data[0],
                 int(cd.plain_modulus), cd.coeff_modulus_mod_plain_modulus,
                 cd.coeff_div_plain_modulus, cd.ntt)
             return ct.replace(data=ct.data.at[0].set(c0))
@@ -98,7 +110,7 @@ class Encryptor:
             cd = self.context.first_context_data
             ct = self._zero(cd, True, asymmetric, save_seed)
             lifted = dpoly.plain_lift(
-                plain.data, cd.ntt, int(cd.plain_modulus),
+                self._pad(plain.data, cd.n), cd.ntt, int(cd.plain_modulus),
                 cd.plain_upper_half_threshold, cd.total_coeff_modulus)
             m_ntt = dntt.rns_ntt_forward(lifted, cd.ntt)
             c0 = dpoly.rns_add(ct.data[0], m_ntt, cd.ntt)

@@ -12,6 +12,7 @@ comparable).
 
 import json
 import os
+from functools import partial
 import sys
 import time
 
@@ -25,7 +26,7 @@ BASELINE_OPS_PER_S = 500.0          # ~2 ms/op troy-on-A100 class target
 N = 16384
 Q_BITS = [60, 40, 40, 40, 40, 60]
 T_BITS = 20
-REPS = 20
+REPS = 200
 
 
 def log(msg):
@@ -60,20 +61,42 @@ def main():
     key_cd = ctx.key_context_data
     key = rlk.keys[2]
 
-    @jax.jit
-    def step(d1, d2):
+    # NOTE: cd/key/key_cd MUST be jit ARGUMENTS, not Python closures — a
+    # closed-over device array becomes an embedded constant, which forces a
+    # device->host readback at trace time and a drastically slower
+    # executable on the axon TPU backend (measured 20-40x).
+    @partial(jax.jit, static_argnames=("target_ntt_form",))
+    def step(d1, d2, cd, key, key_cd, target_ntt_form=False):
         prod = ev_mod._bfv_multiply(d1, d2, cd)
-        delta = ev_mod._switch_key_core(prod[2], key, cd, key_cd, False)
+        delta = ev_mod._switch_key_core(prod[2], key, cd, key_cd,
+                                        target_ntt_form)
         c0 = ev_mod._add(prod[0][None], delta[0][None], cd)[0]
         c1 = ev_mod._add(prod[1][None], delta[1][None], cd)[0]
         return jnp.stack([c0, c1])
 
     t0 = time.time()
-    out = step(ct1.data, ct2.data)
+    out = step(ct1.data, ct2.data, cd, key, key_cd)
     out.block_until_ready()
     log(f"compile+first run: {time.time()-t0:.1f}s")
 
-    # correctness gate before timing
+    # ---- timing FIRST, correctness gate AFTER ----
+    # The axon test harness permanently degrades a process's dispatch path
+    # ~50x after the first device->host readback (its cassette speculator
+    # reports "session poisoned"); that is a harness artifact, not TPU
+    # behavior. Timing therefore runs before any readback, and the decrypt
+    # correctness check (which needs host values) runs afterwards.
+    for _ in range(5):
+        out = step(ct1.data, ct2.data, cd, key, key_cd)
+    out.block_until_ready()
+    t0 = time.time()
+    for _ in range(REPS):
+        out = step(ct1.data, ct2.data, cd, key, key_cd)
+    out.block_until_ready()
+    dt = (time.time() - t0) / REPS
+    ops = 1.0 / dt
+    log(f"mult+relin: {dt*1e3:.3f} ms/op, {ops:.1f} ops/s")
+
+    # correctness gate (poisons the process; nothing timed after this)
     dec = T.Decryptor(ctx, kg.secret_key)
     t_plain = int(parms.plain_modulus)
     got = be.decode(dec.decrypt(T.Ciphertext(data=out, level=ctx.first_level)))
@@ -85,15 +108,6 @@ def main():
                           "vs_baseline": 0.0}))
         return
 
-    for _ in range(3):
-        step(ct1.data, ct2.data).block_until_ready()
-    t0 = time.time()
-    for _ in range(REPS):
-        out = step(ct1.data, ct2.data)
-    out.block_until_ready()
-    dt = (time.time() - t0) / REPS
-    ops = 1.0 / dt
-    log(f"mult+relin: {dt*1e3:.2f} ms/op, {ops:.1f} ops/s")
     print(json.dumps({"metric": "bfv_mult_relin_n16384",
                       "value": round(ops, 2), "unit": "ops/s",
                       "vs_baseline": round(ops / BASELINE_OPS_PER_S, 4)}))

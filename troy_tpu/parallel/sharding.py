@@ -59,7 +59,10 @@ def batched_multiply_relin(context: HeContext, relin_keys: RelinKeys,
     key = relin_keys.keys[2]
     is_ntt = scheme in (SchemeType.ckks, SchemeType.bgv)
 
-    def one(d1, d2):
+    # cd/key/key_cd are jit ARGUMENTS (replicated), never closures: a
+    # closed-over device array becomes an embedded constant — a trace-time
+    # device readback and a far slower executable on the TPU backend.
+    def one(d1, d2, cd, key, key_cd):
         if scheme == SchemeType.bfv:
             prod = ev_mod._bfv_multiply(d1, d2, cd)
         else:
@@ -69,12 +72,14 @@ def batched_multiply_relin(context: HeContext, relin_keys: RelinKeys,
         c1 = ev_mod._add(prod[1][None], delta[1][None], cd)[0]
         return jnp.stack([c0, c1])
 
-    batched = jax.vmap(one)
+    batched = jax.vmap(one, in_axes=(0, 0, None, None, None))
     spec = NamedSharding(mesh, P(axis_name))
 
-    @partial(jax.jit, in_shardings=(spec, spec), out_shardings=spec)
+    jitted = jax.jit(batched, in_shardings=(spec, spec, None, None, None),
+                     out_shardings=spec)
+
     def run(d1, d2):
-        return batched(d1, d2)
+        return jitted(d1, d2, cd, key, key_cd)
 
     return run
 
@@ -97,7 +102,7 @@ def coeff_sharded_multiply_relin(context: HeContext, relin_keys: RelinKeys,
     key = relin_keys.keys[2]
     is_ntt = scheme in (SchemeType.ckks, SchemeType.bgv)
 
-    def one(d1, d2):
+    def one(d1, d2, cd, key, key_cd):
         if scheme == SchemeType.bfv:
             prod = ev_mod._bfv_multiply(d1, d2, cd)
         else:
@@ -107,11 +112,14 @@ def coeff_sharded_multiply_relin(context: HeContext, relin_keys: RelinKeys,
         c1 = ev_mod._add(prod[1][None], delta[1][None], cd)[0]
         return jnp.stack([c0, c1])
 
-    # (size, k, n): shard the polynomial-coefficient axis
+    # (size, k, n): shard the polynomial-coefficient axis; tables/keys ride
+    # as replicated jit arguments (see batched_multiply_relin note).
     spec = NamedSharding(mesh, P(None, None, axis_name))
 
-    @partial(jax.jit, in_shardings=(spec, spec), out_shardings=spec)
+    jitted = jax.jit(one, in_shardings=(spec, spec, None, None, None),
+                     out_shardings=spec)
+
     def run(d1, d2):
-        return one(d1, d2)
+        return jitted(d1, d2, cd, key, key_cd)
 
     return run

@@ -594,7 +594,11 @@ class Evaluator:
         if scheme == SchemeType.bfv and not ct.is_ntt_form:
             if plain.is_ntt_form:
                 # pre-transformed plaintext: NTT the ct transiently
-                raise ValueError("transform ciphertext to NTT first")
+                # (evaluator.cpp multiplyPlainNtt semantics on a coeff ct)
+                ntt = _transform_to_ntt(ct.data, cd)
+                data = _transform_from_ntt(
+                    _multiply_plain_ntt(ntt, plain.data, cd), cd)
+                return ct.replace(data=data, seed=0)
             data = _bfv_multiply_plain(ct.data, plain.data, cd)
             return ct.replace(data=data, seed=0)
         if scheme == SchemeType.ckks:

@@ -29,7 +29,8 @@ import numpy as np  # noqa: E402
 
 def block(x):
     import jax
-    jax.tree.map(lambda a: a.block_until_ready(), x)
+    jax.tree.map(lambda a: a.block_until_ready()
+                 if hasattr(a, "block_until_ready") else a, x)
     return x
 
 

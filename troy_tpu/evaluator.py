@@ -218,8 +218,80 @@ def _switch_key_core(target: jnp.ndarray, key: jnp.ndarray,
     return jnp.stack(outs)
 
 
+
+@jax.jit
+def _add_ct_core(da: jnp.ndarray, db: jnp.ndarray,
+                 cd: ContextData) -> jnp.ndarray:
+    """Whole-ciphertext add with static size mismatch handling, fused."""
+    s = min(da.shape[0], db.shape[0])
+    body = _add(da[:s], db[:s], cd)
+    tail = da[s:] if da.shape[0] > s else db[s:]
+    return jnp.concatenate([body, tail]) if tail.shape[0] else body
+
+
+@jax.jit
+def _sub_ct_core(da: jnp.ndarray, db: jnp.ndarray,
+                 cd: ContextData) -> jnp.ndarray:
+    s = min(da.shape[0], db.shape[0])
+    body = _sub(da[:s], db[:s], cd)
+    tail = da[s:] if da.shape[0] > s else _negate(db[s:], cd)
+    return jnp.concatenate([body, tail]) if tail.shape[0] else body
+
+
 _switch_key_core_jit = jax.jit(
     _switch_key_core, static_argnames=("target_ntt_form",))
+
+
+@partial(jax.jit, static_argnames=("target_ntt_form",))
+def _relinearize_core(data: jnp.ndarray, keys: Tuple[jnp.ndarray, ...],
+                      cd: ContextData, key_cd: ContextData,
+                      target_ntt_form: bool) -> jnp.ndarray:
+    """Full relinearization (size s -> 2) as ONE fused executable: every
+    c_p (p >= 2) key-switched and folded into (c0, c1)
+    (evaluator_cuda.cu:703 relinearizeInternal)."""
+    c0, c1 = data[0], data[1]
+    for i, key in enumerate(keys):
+        delta = _switch_key_core(data[2 + i], key, cd, key_cd,
+                                 target_ntt_form)
+        c0 = _add(c0[None], delta[0][None], cd)[0]
+        c1 = _add(c1[None], delta[1][None], cd)[0]
+    return jnp.stack([c0, c1])
+
+
+@partial(jax.jit, static_argnames=("target_ntt_form",))
+def _apply_keyswitch_core(data: jnp.ndarray, key: jnp.ndarray,
+                          cd: ContextData, key_cd: ContextData,
+                          target_ntt_form: bool) -> jnp.ndarray:
+    """Generic external key switch on a size-2 ciphertext, fused."""
+    delta = _switch_key_core(data[1], key, cd, key_cd, target_ntt_form)
+    c0 = _add(data[0][None], delta[0][None], cd)[0]
+    return jnp.stack([c0, delta[1]])
+
+
+@jax.jit
+def _apply_galois_ntt_core(data: jnp.ndarray, perm: jnp.ndarray,
+                           key: jnp.ndarray, cd: ContextData,
+                           key_cd: ContextData) -> jnp.ndarray:
+    """NTT-domain Galois: permute + key-switch + fold, one executable
+    (evaluator_cuda.cu:2024 applyGaloisInplace, NTT branch)."""
+    c0 = _apply_permutation(data[0], perm)
+    c1 = _apply_permutation(data[1], perm)
+    delta = _switch_key_core(c1, key, cd, key_cd, True)
+    c0 = _add(c0[None], delta[0][None], cd)[0]
+    return jnp.stack([c0, delta[1]])
+
+
+@jax.jit
+def _apply_galois_coeff_core(data: jnp.ndarray, src: jnp.ndarray,
+                             keep: jnp.ndarray, key: jnp.ndarray,
+                             cd: ContextData,
+                             key_cd: ContextData) -> jnp.ndarray:
+    """Coefficient-domain Galois (signed permutation), fused."""
+    c0 = _apply_permutation_signed(data[0], src, keep, cd)
+    c1 = _apply_permutation_signed(data[1], src, keep, cd)
+    delta = _switch_key_core(c1, key, cd, key_cd, False)
+    c0 = _add(c0[None], delta[0][None], cd)[0]
+    return jnp.stack([c0, delta[1]])
 
 
 @jax.jit
@@ -389,10 +461,7 @@ class Evaluator:
             db = dpoly.rns_broadcast_scalar_mul(db, e2, cd.ntt)
         elif scheme == SchemeType.bgv:
             cf = a.correction_factor
-        s = min(da.shape[0], db.shape[0])
-        body = _add(da[:s], db[:s], cd)
-        tail = da[s:] if da.shape[0] > s else db[s:]
-        data = jnp.concatenate([body, tail]) if tail.shape[0] else body
+        data = _add_ct_core(da, db, cd)
         return a.replace(data=data, correction_factor=cf, seed=0)
 
     def sub(self, a: Ciphertext, b: Ciphertext) -> Ciphertext:
@@ -411,13 +480,7 @@ class Evaluator:
             db = dpoly.rns_broadcast_scalar_mul(db, e2, cd.ntt)
         elif scheme == SchemeType.bgv:
             cf = a.correction_factor
-        s = min(da.shape[0], db.shape[0])
-        body = _sub(da[:s], db[:s], cd)
-        if da.shape[0] > s:
-            tail = da[s:]
-        else:
-            tail = _negate(db[s:], cd)
-        data = jnp.concatenate([body, tail]) if tail.shape[0] else body
+        data = _sub_ct_core(da, db, cd)
         return a.replace(data=data, correction_factor=cf, seed=0)
 
     def add_many(self, cts: Sequence[Ciphertext]) -> Ciphertext:
@@ -478,11 +541,9 @@ class Evaluator:
         if ct.size != 2:
             raise ValueError("key switching expects size-2 ciphertexts")
         cd = self._cd(ct)
-        delta = _switch_key_core_jit(
-            ct.data[1], kswitch_keys.keys[1], cd,
+        data = _apply_keyswitch_core(
+            ct.data, kswitch_keys.keys[1], cd,
             self.context.key_context_data, ct.is_ntt_form)
-        c0 = _add(ct.data[0][None], delta[0][None], cd)[0]
-        data = jnp.stack([c0, delta[1]])
         return ct.replace(data=data, seed=0)
 
     def relinearize(self, ct: Ciphertext, relin_keys: RelinKeys) -> Ciphertext:
@@ -491,13 +552,9 @@ class Evaluator:
             return ct
         cd = self._cd(ct)
         key_cd = self.context.key_context_data
-        c0, c1 = ct.data[0], ct.data[1]
-        for p in range(2, ct.size):
-            delta = _switch_key_core_jit(
-                ct.data[p], relin_keys.keys[p], cd, key_cd, ct.is_ntt_form)
-            c0 = _add(c0[None], delta[0][None], cd)[0]
-            c1 = _add(c1[None], delta[1][None], cd)[0]
-        return ct.replace(data=jnp.stack([c0, c1]), seed=0)
+        keys = tuple(relin_keys.keys[p] for p in range(2, ct.size))
+        data = _relinearize_core(ct.data, keys, cd, key_cd, ct.is_ntt_form)
+        return ct.replace(data=data, seed=0)
 
     # ---- modulus switching / rescaling (evaluator_cuda.cu:749+) ----
     def mod_switch_to_next(self, ct: Ciphertext) -> Ciphertext:
@@ -648,22 +705,18 @@ class Evaluator:
                              "(relinearize first)")
         cd = self._cd(ct)
         n = cd.n
-        if ct.is_ntt_form:
-            perm = jnp.asarray(galois_util.ntt_permutation(n, elt))
-            c0 = _apply_permutation(ct.data[0], perm)
-            c1 = _apply_permutation(ct.data[1], perm)
-        else:
-            src, keep = galois_util.coeff_permutation(n, elt)
-            src_j, keep_j = jnp.asarray(src), jnp.asarray(keep)
-            c0 = _apply_permutation_signed(ct.data[0], src_j, keep_j, cd)
-            c1 = _apply_permutation_signed(ct.data[1], src_j, keep_j, cd)
         if not galois_keys.has_key(elt):
             raise ValueError(f"Galois key for element {elt} not present")
-        delta = _switch_key_core_jit(
-            c1, galois_keys.keys[elt], cd,
-            self.context.key_context_data, ct.is_ntt_form)
-        c0 = _add(c0[None], delta[0][None], cd)[0]
-        return ct.replace(data=jnp.stack([c0, delta[1]]), seed=0)
+        key = galois_keys.keys[elt]
+        key_cd = self.context.key_context_data
+        if ct.is_ntt_form:
+            perm = galois_util.ntt_permutation_dev(n, elt)
+            data = _apply_galois_ntt_core(ct.data, perm, key, cd, key_cd)
+        else:
+            src_j, keep_j = galois_util.coeff_permutation_dev(n, elt)
+            data = _apply_galois_coeff_core(ct.data, src_j, keep_j, key,
+                                            cd, key_cd)
+        return ct.replace(data=data, seed=0)
 
     def _rotate_internal(self, ct: Ciphertext, steps: int,
                          galois_keys: GaloisKeys) -> Ciphertext:

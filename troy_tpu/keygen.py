@@ -120,7 +120,7 @@ class KeyGenerator:
         keys = {}
         sk = self._secret_key.data                 # (key_limbs, n) NTT
         for elt in elts:
-            perm = jnp.asarray(galois_util.ntt_permutation(n, elt))
+            perm = galois_util.ntt_permutation_dev(n, elt)
             rotated = jnp.take(sk, perm, axis=-1)  # s(x^elt) in NTT order
             keys[int(elt)] = self._generate_one_kswitch_key(rotated)
         return GaloisKeys(keys=keys)

@@ -56,6 +56,16 @@ def get_elts_all(n: int) -> List[int]:
     return elts
 
 
+def _brv_table(log_n: int) -> np.ndarray:
+    """Vectorized bit-reversal permutation of [0, 2^log_n)."""
+    n = 1 << log_n
+    idx = np.arange(n, dtype=np.int64)
+    out = np.zeros(n, dtype=np.int64)
+    for b in range(log_n):
+        out = (out << 1) | ((idx >> b) & 1)
+    return out
+
+
 @lru_cache(maxsize=None)
 def coeff_permutation(n: int, elt: int) -> Tuple[np.ndarray, np.ndarray]:
     """Coefficient-domain automorphism as an output gather:
@@ -68,16 +78,9 @@ def coeff_permutation(n: int, elt: int) -> Tuple[np.ndarray, np.ndarray]:
         raise ValueError("Galois element must be odd")
     m = 2 * n
     inv = numth.invert_mod(elt, m)
-    src = np.zeros(n, dtype=np.int32)
-    keep_sign = np.zeros(n, dtype=bool)
-    for j in range(n):
-        i = (j * inv) % m
-        if i < n:
-            src[j] = i
-            keep_sign[j] = True
-        else:
-            src[j] = i - n
-            keep_sign[j] = False
+    i = (np.arange(n, dtype=np.int64) * inv) % m
+    keep_sign = i < n
+    src = np.where(keep_sign, i, i - n).astype(np.int32)
     src.setflags(write=False)
     keep_sign.setflags(write=False)
     return src, keep_sign
@@ -90,10 +93,24 @@ def ntt_permutation(n: int, elt: int) -> np.ndarray:
     perm[i] = brv(((elt * (2*brv(i)+1)) mod 2N - 1) / 2))."""
     log_n = numth.get_power_of_two(n)
     m = 2 * n
-    perm = np.zeros(n, dtype=np.int32)
-    for i in range(n):
-        reversed_i = numth.reverse_bits(i, log_n)
-        index_raw = (elt * (2 * reversed_i + 1)) % m
-        perm[i] = numth.reverse_bits((index_raw - 1) // 2, log_n)
+    brv = _brv_table(log_n)
+    index_raw = (elt * (2 * brv + 1)) % m
+    perm = brv[(index_raw - 1) // 2].astype(np.int32)
     perm.setflags(write=False)
     return perm
+
+
+@lru_cache(maxsize=None)
+def ntt_permutation_dev(n: int, elt: int):
+    """Device-resident NTT permutation table (uploaded once per (n, elt) —
+    a per-call upload costs ~1 ms over the TPU tunnel)."""
+    import jax.numpy as jnp
+    return jnp.asarray(ntt_permutation(n, elt))
+
+
+@lru_cache(maxsize=None)
+def coeff_permutation_dev(n: int, elt: int):
+    """Device-resident coefficient permutation tables (src, keep_sign)."""
+    import jax.numpy as jnp
+    src, keep = coeff_permutation(n, elt)
+    return jnp.asarray(src), jnp.asarray(keep)

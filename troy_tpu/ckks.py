@@ -28,6 +28,26 @@ from .ops import ntt as dntt
 from .utils import numth
 
 
+def _round_to_rns(coeffs: np.ndarray, cd: ContextData) -> np.ndarray:
+    """Round scaled float coefficients and decompose into RNS residues.
+
+    Vectorized int64 fast path for |c| < 2^62 (float64 is exact there up to
+    its 53-bit mantissa, matching the reference's double rounding,
+    ckks_cuda.cu:211-302); exact Python-int fallback for coefficients
+    beyond 64 bits (scale * value can approach Q/2)."""
+    n = coeffs.shape[0]
+    rns = np.zeros((cd.limbs, n), dtype=np.uint64)
+    if np.max(np.abs(coeffs), initial=0.0) < 2.0 ** 62:
+        ints = np.rint(coeffs).astype(np.int64)
+        for i, q in enumerate(cd.coeff_values):
+            rns[i] = (ints % np.int64(q)).astype(np.uint64)
+        return rns
+    exact = [int(round(float(c))) for c in coeffs]
+    for i, q in enumerate(cd.coeff_values):
+        rns[i] = np.array([c % q for c in exact], dtype=np.uint64)
+    return rns
+
+
 class CKKSEncoder:
     """(ckks.h:97)"""
 
@@ -83,12 +103,7 @@ class CKKSEncoder:
             raise ValueError("encoded values are too large for the "
                              "coefficient modulus at this level")
 
-        # exact rounding + RNS decomposition (handles >64-bit magnitudes)
-        ints = [int(round(float(c))) for c in coeffs]
-        rns = np.zeros((cd.limbs, n), dtype=np.uint64)
-        for i, q in enumerate(cd.coeff_values):
-            rns[i] = np.array([c % q for c in ints], dtype=np.uint64)
-
+        rns = _round_to_rns(coeffs, cd)
         data = dntt.rns_ntt_forward(jnp.asarray(rns), cd.ntt)
         return Plaintext(data=data, level=level, is_ntt_form=True,
                          scale=scale)
@@ -130,11 +145,9 @@ class CKKSEncoder:
         coeffs = np.asarray(coeffs, dtype=np.float64)
         if len(coeffs) > self.n:
             raise ValueError("too many coefficients")
-        ints = [int(round(float(c) * scale)) for c in coeffs]
-        ints += [0] * (self.n - len(ints))
-        rns = np.zeros((cd.limbs, self.n), dtype=np.uint64)
-        for i, q in enumerate(cd.coeff_values):
-            rns[i] = np.array([c % q for c in ints], dtype=np.uint64)
+        scaled = np.zeros(self.n, dtype=np.float64)
+        scaled[:len(coeffs)] = coeffs * scale
+        rns = _round_to_rns(scaled, cd)
         data = dntt.rns_ntt_forward(jnp.asarray(rns), cd.ntt)
         return Plaintext(data=data, level=level, is_ntt_form=True,
                          scale=scale)

@@ -1,22 +1,26 @@
-"""Decryptor: phase computation and per-scheme scaling back to plaintext.
+"""Decryptor: ⟨ct, (1, s, s², …)⟩ phase + per-scheme rounding.
 
 Semantics-compatible with the reference's decryptor
 (reference: src/decryptor.h:47, src/decryptor.cpp,
-src/decryptor_cuda.cu:61-393): phase = <ct, (1, s, s^2, ...)> accumulated in
-the NTT domain with cached secret-key powers; then
-  * BFV: decryptScaleAndRound (t/Q scaling via the gamma trick);
-  * CKKS: the mod-q NTT phase *is* the plaintext;
-  * BGV: exact conversion mod t + correction-factor unwind.
+src/decryptor_cuda.cu:61-393): the phase accumulates in the NTT domain
+with cached secret-key powers; BFV applies the t/q scale-and-round, BGV
+reduces mod t with the correction factor, CKKS returns the mod-q NTT
+phase unchanged. ``invariant_noise_budget`` is implemented host-side
+(present even where the reference's CUDA path comments it out,
+decryptor_cuda.cu:330-393).
 
-Includes the host-side invariant noise budget (present on the reference's
-CPU path, decryptor.cpp; commented out in its CUDA twin).
+The whole decrypt is ONE fused jit per (size, level, scheme) — eager
+composition would re-upload precomputed tables per call (~30-60 ms per
+transfer on the axon tunnel).
 """
 
 from __future__ import annotations
 
-from typing import Dict
+from functools import partial
+from typing import Dict, Tuple
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .context import HeContext, ContextData
@@ -26,6 +30,41 @@ from .ops import ntt as dntt
 from .ops import poly as dpoly
 from .ops import rns as drns
 from .utils import numth
+
+
+@partial(jax.jit, static_argnames=("is_ntt_form",))
+def _phase_ntt_core(data: jnp.ndarray, sk_powers: Tuple[jnp.ndarray, ...],
+                    cd: ContextData, is_ntt_form: bool) -> jnp.ndarray:
+    """c0 + c1 s + c2 s² + ... in the NTT domain: (k, n)
+    (decryptor_cuda.cu:262-329 dotProductCtSkArray)."""
+    t = cd.ntt
+    k = cd.limbs
+    size = data.shape[0]
+    if is_ntt_form:
+        comps = [data[i] for i in range(size)]
+    else:
+        comps = [dntt.rns_ntt_forward(data[i], t, lazy=False)
+                 for i in range(size)]
+    acc = comps[0]
+    for i in range(1, size):
+        ski = sk_powers[i - 1][:k]
+        acc = dpoly.rns_add(acc, dntt.rns_dyadic_mul(comps[i], ski, t), t)
+    return acc
+
+
+@partial(jax.jit, static_argnames=("is_ntt_form", "inv_cf"))
+def _decrypt_core(data: jnp.ndarray, sk_powers: Tuple[jnp.ndarray, ...],
+                  cd: ContextData, is_ntt_form: bool,
+                  inv_cf: int) -> jnp.ndarray:
+    """Fused decrypt to plaintext data (BFV/BGV; CKKS uses the phase)."""
+    phase = dntt.rns_ntt_inverse(
+        _phase_ntt_core(data, sk_powers, cd, is_ntt_form), cd.ntt)
+    if cd.scheme == SchemeType.bfv:
+        return drns.decrypt_scale_and_round(phase, cd.rns_tool)
+    m = drns.decrypt_mod_t(phase, cd.rns_tool)
+    if inv_cf != 1:
+        m = drns.smul(m, inv_cf, int(cd.plain_modulus))
+    return m
 
 
 class Decryptor:
@@ -44,46 +83,25 @@ class Decryptor:
                 self._sk_power(p - 1), self._sk.data, cd.ntt)
         return self._sk_powers[p]
 
-    def _phase_ntt(self, ct: Ciphertext, cd: ContextData) -> jnp.ndarray:
-        """c0 + c1 s + c2 s^2 + ... in the NTT domain: (k, n)
-        (decryptor_cuda.cu:262-329 dotProductCtSkArray)."""
-        t = cd.ntt
-        k = cd.limbs
-        if ct.is_ntt_form:
-            comps = [ct.data[i] for i in range(ct.size)]
-        else:
-            comps = [dntt.rns_ntt_forward(ct.data[i], t, lazy=False)
-                     for i in range(ct.size)]
-        acc = comps[0]
-        for i in range(1, ct.size):
-            ski = self._sk_power(i)[:k]
-            acc = dpoly.rns_add(acc, dntt.rns_dyadic_mul(comps[i], ski, t), t)
-        return acc
+    def _powers_for(self, size: int) -> Tuple[jnp.ndarray, ...]:
+        return tuple(self._sk_power(p) for p in range(1, size))
 
     def decrypt(self, ct: Ciphertext) -> Plaintext:
         cd = self.context.get_context_data(ct.level)
         scheme = self.context.scheme
-        phase_ntt = self._phase_ntt(ct, cd)
-
-        if scheme == SchemeType.bfv:
-            phase = dntt.rns_ntt_inverse(phase_ntt, cd.ntt)
-            m = drns.decrypt_scale_and_round(phase, cd.rns_tool)
-            return Plaintext(data=m)
+        powers = self._powers_for(ct.size)
 
         if scheme == SchemeType.ckks:
-            return Plaintext(data=phase_ntt, level=ct.level,
+            phase = _phase_ntt_core(ct.data, powers, cd, ct.is_ntt_form)
+            return Plaintext(data=phase, level=ct.level,
                              is_ntt_form=True, scale=ct.scale)
 
-        if scheme == SchemeType.bgv:
-            phase = dntt.rns_ntt_inverse(phase_ntt, cd.ntt)
-            m = drns.decrypt_mod_t(phase, cd.rns_tool)
+        inv_cf = 1
+        if scheme == SchemeType.bgv and ct.correction_factor != 1:
             tt = int(cd.plain_modulus)
-            if ct.correction_factor != 1:
-                inv_cf = numth.invert_mod(ct.correction_factor % tt, tt)
-                m = drns.smul(m, inv_cf, tt)
-            return Plaintext(data=m)
-
-        raise ValueError("unsupported scheme")
+            inv_cf = numth.invert_mod(ct.correction_factor % tt, tt)
+        m = _decrypt_core(ct.data, powers, cd, ct.is_ntt_form, inv_cf)
+        return Plaintext(data=m)
 
     # ---- noise budget (decryptor.cpp invariantNoiseBudget; host-side) ----
     def invariant_noise_budget(self, ct: Ciphertext) -> int:
@@ -92,7 +110,9 @@ class Decryptor:
         if self.context.scheme not in (SchemeType.bfv, SchemeType.bgv):
             raise ValueError("noise budget is defined for BFV/BGV only")
         cd = self.context.get_context_data(ct.level)
-        phase = np.asarray(dntt.rns_ntt_inverse(self._phase_ntt(ct, cd), cd.ntt))
+        powers = self._powers_for(ct.size)
+        phase = np.asarray(dntt.rns_ntt_inverse(
+            _phase_ntt_core(ct.data, powers, cd, ct.is_ntt_form), cd.ntt))
         Q = cd.total_coeff_modulus
         t = int(cd.plain_modulus)
         base = cd.rns_tool.base_q

@@ -12,9 +12,12 @@ encode and decode are a single device gather plus one NTT.
 
 from __future__ import annotations
 
+from functools import partial
+
 from typing import Sequence, Union
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .context import HeContext
@@ -53,17 +56,18 @@ class BatchEncoder:
         return self.n
 
     def encode(self, values: Union[Sequence[int], np.ndarray]) -> Plaintext:
-        """Unsigned slot values (mod t) -> coefficient plaintext."""
+        """Unsigned slot values (mod t) -> coefficient plaintext.
+        One upload (padded values) + one fused scatter+iNTT executable."""
         values = np.asarray(values, dtype=np.uint64)
         if values.ndim != 1 or len(values) > self.n:
             raise ValueError("too many slot values")
         t = self.plain_modulus
         if (values >= t).any():
             values = values % t
-        evals = jnp.zeros(self.n, dtype=jnp.uint64)
-        evals = evals.at[self._index_map[:len(values)]].set(
-            jnp.asarray(values))
-        coeffs = dntt.ntt_inverse(evals, self._tables)
+        if len(values) < self.n:
+            values = np.pad(values, (0, self.n - len(values)))
+        coeffs = _encode_core(jnp.asarray(values), self._index_map,
+                              self._tables)
         return Plaintext(data=coeffs)
 
     def encode_signed(self, values: Union[Sequence[int], np.ndarray]) -> Plaintext:
@@ -79,9 +83,7 @@ class BatchEncoder:
         data = plain.data
         if data.shape[-1] < self.n:
             data = jnp.pad(data, (0, self.n - data.shape[-1]))
-        evals = dntt.ntt_forward(data, self._tables)
-        slots = jnp.take(evals, self._index_map)
-        return np.asarray(slots)
+        return np.asarray(_decode_core(data, self._index_map, self._tables))
 
     def decode_signed(self, plain: Plaintext) -> np.ndarray:
         vals = self.decode(plain).astype(np.int64)
@@ -101,3 +103,21 @@ class BatchEncoder:
     def decode_polynomial(self, plain: Plaintext, count: int = None) -> np.ndarray:
         out = np.asarray(plain.data)
         return out if count is None else out[:count]
+
+
+@jax.jit
+def _encode_core(values: jnp.ndarray, index_map: jnp.ndarray,
+                 tables) -> Plaintext:
+    """Fused slot scatter + inverse plain-NTT
+    (batchencoder_cuda.cu:42-73 equivalent, one executable)."""
+    evals = jnp.zeros(values.shape[0], dtype=jnp.uint64)
+    evals = evals.at[index_map].set(values)
+    return dntt.ntt_inverse(evals, tables)
+
+
+@jax.jit
+def _decode_core(data: jnp.ndarray, index_map: jnp.ndarray,
+                 tables) -> jnp.ndarray:
+    """Fused plain-NTT + slot gather (batchencoder_cuda.cu:75-118)."""
+    evals = dntt.ntt_forward(data, tables)
+    return jnp.take(evals, index_map)

@@ -1,0 +1,85 @@
+"""Weak-scaling harness: data-parallel ciphertext batches over a mesh.
+
+The reference is single-GPU by construction (cudaSetDevice(0),
+src/kernelprovider.cuh:30); this measures what it cannot express —
+mult+relin throughput as the batch and the mesh grow together
+(BASELINE.md: >=80% weak-scaling efficiency target).
+
+On this machine real multi-chip hardware is unavailable, so the default
+run uses the virtual CPU mesh (JAX_PLATFORMS=cpu,
+xla_force_host_platform_device_count) — the sharding/collective layout is
+identical to a real pod slice; only the per-chip speed differs.
+
+Usage:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python benchmarks/scaling.py [n] [reps]
+"""
+
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/troy_tpu_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+
+import numpy as np  # noqa: E402
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import troy_tpu as T
+    from troy_tpu import prng as rnd
+    from troy_tpu.parallel import sharding as par
+
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    n_dev = len(jax.devices())
+    print(f"devices: {n_dev} x {jax.devices()[0].platform}", flush=True)
+
+    parms = T.EncryptionParameters(
+        scheme=T.SchemeType.bfv, poly_modulus_degree=n,
+        coeff_modulus=tuple(T.CoeffModulus.create(n, [50, 40, 40, 50])),
+        plain_modulus=T.PlainModulus.batching(n, 20))
+    ctx = T.HeContext(parms, sec_level=T.SecurityLevel.none)
+    kg = T.KeyGenerator(ctx, seed=rnd.seed_from_uint64(777))
+    rlk = kg.create_relin_keys()
+    enc = T.Encryptor(ctx, secret_key=kg.secret_key)
+    be = T.BatchEncoder(ctx)
+
+    a = np.arange(n, dtype=np.uint64) % int(parms.plain_modulus)
+    base_ct1 = enc.encrypt_symmetric(be.encode(a)).data
+    base_ct2 = enc.encrypt_symmetric(be.encode(a[::-1].copy())).data
+
+    results = {}
+    d = 1
+    while d <= n_dev:
+        per_dev_batch = 4
+        B = d * per_dev_batch
+        mesh = par.make_mesh(d)
+        d1 = par.shard_batch(mesh, jnp.stack([base_ct1] * B))
+        d2 = par.shard_batch(mesh, jnp.stack([base_ct2] * B))
+        run = par.batched_multiply_relin(ctx, rlk, mesh)
+        out = run(d1, d2)
+        out.block_until_ready()
+        t0 = time.time()
+        for _ in range(reps):
+            out = run(d1, d2)
+        out.block_until_ready()
+        dt = (time.time() - t0) / reps
+        ops = B / dt
+        results[d] = ops
+        eff = ops / (results[1] * d) * 100 if 1 in results else 100.0
+        print(f"  {d} dev x batch {per_dev_batch}: {ops:9.1f} ops/s "
+              f"(weak-scaling eff {eff:5.1f}%)", flush=True)
+        d *= 2
+    if jax.devices()[0].platform == "cpu":
+        print("  NOTE: virtual CPU devices share this host's physical "
+              "cores — efficiency here validates the sharding layout, "
+              "not real per-chip scaling (that needs a pod slice).",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -227,7 +227,10 @@ class MatmulHelper:
 
     def encrypt_inputs(self, encryptor: Encryptor,
                        encode_poly, inputs) -> Cipher2d:
-        return self.encode_inputs(encode_poly, inputs).encrypt(encryptor)
+        # symmetric, as the reference's Plain2d::encrypt does
+        # (LinearHelper.cuh:208-215 encryptSymmetric)
+        return self.encode_inputs(encode_poly,
+                                  inputs).encrypt_symmetric(encryptor)
 
     # ---- the matmul itself (LinearHelper.cuh:403-479) ----
     def matmul(self, ev: Evaluator, a: Cipher2d, w: Plain2d) -> Cipher2d:
@@ -530,7 +533,9 @@ class Conv2dHelper:
 
     def encrypt_inputs(self, encryptor: Encryptor, encode_poly,
                        inputs) -> Cipher2d:
-        return self.encode_inputs(encode_poly, inputs).encrypt(encryptor)
+        # symmetric, as the reference (LinearHelper.cuh:208-215)
+        return self.encode_inputs(encode_poly,
+                                  inputs).encrypt_symmetric(encryptor)
 
     def conv2d(self, ev: Evaluator, a: Cipher2d, w: Plain2d) -> Cipher2d:
         total = self.total_batch_size()

@@ -31,12 +31,18 @@ class BatchEncoder:
 
     def __init__(self, context: HeContext):
         cd = context.first_context_data
-        if not cd.qualifiers.using_batching:
-            raise ValueError("batching requires plain_modulus = 1 mod 2N")
         self.context = context
         self.n = cd.n
         self.plain_modulus = int(cd.plain_modulus)
         self._tables = context.plain_ntt
+        # SIMD slot encoding needs t = 1 mod 2N; without it only the
+        # coefficient-domain encode_polynomial path is available (matching
+        # the reference, whose encodePolynomial works for any t —
+        # batchencoder_cuda.cuh:65-75)
+        self._batching = cd.qualifiers.using_batching
+        if not self._batching:
+            self._index_map = None
+            return
 
         # matrix_reps_index_map (batchencoder.cpp:67-82): slot i of row 0 sits
         # at eval index brv((3^i - 1)/2); row 1 mirrors through -3^i.
@@ -55,9 +61,15 @@ class BatchEncoder:
     def slot_count(self) -> int:
         return self.n
 
+    def _require_batching(self):
+        if not self._batching:
+            raise ValueError("SIMD batching requires plain_modulus = 1 "
+                             "mod 2N; use encode_polynomial instead")
+
     def encode(self, values: Union[Sequence[int], np.ndarray]) -> Plaintext:
         """Unsigned slot values (mod t) -> coefficient plaintext.
         One upload (padded values) + one fused scatter+iNTT executable."""
+        self._require_batching()
         values = np.asarray(values, dtype=np.uint64)
         if values.ndim != 1 or len(values) > self.n:
             raise ValueError("too many slot values")
@@ -80,6 +92,7 @@ class BatchEncoder:
         """Coefficient plaintext -> unsigned slot values."""
         if plain.is_ntt_form:
             raise ValueError("cannot decode an NTT-form plaintext")
+        self._require_batching()
         data = plain.data
         if data.shape[-1] < self.n:
             data = jnp.pad(data, (0, self.n - data.shape[-1]))

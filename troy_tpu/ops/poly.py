@@ -104,9 +104,10 @@ def bfv_multiply_add_plain(m: jnp.ndarray, c0: jnp.ndarray,
     (scalingvariant.cpp multiplyAddPlainWithScalingVariant).
 
     round(Q*m/t) = m*floor(Q/t) + fix,  fix = floor((m*(Q mod t) + (t+1)/2)/t).
-    The 128/64 exact division uses the oddness of t: subtract the Barrett
-    remainder, then multiply by t^{-1} mod 2^64 — quotient < 2^64 so the
-    wrap-around product is exact (TPU-friendly: no long division).
+    The 128/64 exact division subtracts the Barrett remainder, shifts out
+    the power-of-two part of t, then multiplies by the inverse of the odd
+    part mod 2^64 — the quotient is < 2^64 so the wrap-around product is
+    exact (TPU-friendly: no long division; handles even t like 2^41).
     """
     tt = plain_modulus
     half = (tt + 1) >> 1
@@ -117,8 +118,16 @@ def bfv_multiply_add_plain(m: jnp.ndarray, c0: jnp.ndarray,
     lo2 = lo + u.u64(half)
     hi2 = hi + (lo2 < lo).astype(U64)
     r = u.barrett_reduce_128(lo2, hi2, tt, cr)
-    inv_t = pow(tt, -1, 1 << 64)
-    fix = (lo2 - r) * u.u64(inv_t)          # exact floor((m*qt + half)/t)
+    # exact division of the 128-bit (lo2:hi2) - r by t = 2^s * odd
+    s = (tt & -tt).bit_length() - 1
+    odd = tt >> s
+    borrow = (lo2 < r).astype(U64)
+    lo3 = lo2 - r
+    hi3 = hi2 - borrow
+    if s:
+        lo3 = (lo3 >> u.u64(s)) | (hi3 << u.u64(64 - s))
+    inv_odd = pow(odd, -1, 1 << 64)
+    fix = lo3 * u.u64(inv_odd)              # exact floor((m*qt + half)/t)
 
     vals = t.values
     outs = []

@@ -132,3 +132,98 @@ def test_matmul_helper_protocol():
     y_back = helper.deserialize_outputs(ev, blob)
     got = helper.decrypt_outputs(be, dec, y_back)
     assert np.array_equal(got, (x @ w) % t)
+
+
+def test_binder_container_surface():
+    """Binder parity: is_prime(), parms_id/set_parms_id, resize/reserve,
+    multiply_batch (reference: binder/binder.cu:168,237-268,637-649)."""
+    pytroy.initialize_kernel()
+    assert pytroy.Modulus(65537).is_prime()
+    assert not pytroy.Modulus(65536).is_prime()
+
+    ctx = pytroy.SEALContext(_params(pytroy.SchemeType.bfv),
+                             sec_level=pytroy.SecurityLevel.none)
+    kg = pytroy.KeyGenerator(ctx)
+    enc = pytroy.BatchEncoder(ctx)
+    encryptor = pytroy.Encryptor(ctx)   # keyless ctor + set_secret_key
+    encryptor.set_secret_key(kg.secret_key())
+    decryptor = pytroy.Decryptor(ctx, kg.secret_key())
+    ev = pytroy.Evaluator(ctx)
+
+    ct = encryptor.encrypt_symmetric(
+        enc.encode_polynomial(np.arange(4, dtype=np.uint64)))
+    assert ct.parms_id() == ctx.first_parms_id()
+    ct.resize(3)
+    assert ct.size() == 3
+    ct.resize(2)
+    ct.reserve(8)          # no-op, must not corrupt
+    got = enc.decode_polynomial(decryptor.decrypt(ct))
+    assert list(got[:4]) == [0, 1, 2, 3]
+
+    p = enc.encode_polynomial(np.array([7], dtype=np.uint64))
+    outs = ev.multiply_batch([ct], [p])
+    got = enc.decode_polynomial(decryptor.decrypt(outs[0]))
+    assert list(got[:4]) == [0, 7, 14, 21]
+
+
+def test_matmul_mask_and_weight_serialization():
+    """encode_outputs masking + serialize_encoded_weights round-trip in
+    both pack_lwe modes (reference: app/LinearHelper.cuh:481-560,652-684)."""
+    pytroy.initialize_kernel()
+    parms = _params(pytroy.SchemeType.bfv)
+    t = 1 << 16
+    parms.set_plain_modulus(t)
+    ctx = pytroy.SEALContext(parms, sec_level=pytroy.SecurityLevel.none)
+    kg = pytroy.KeyGenerator(ctx)
+    enc = pytroy.BatchEncoder(ctx)
+    encryptor = pytroy.Encryptor(ctx, kg.secret_key())
+    decryptor = pytroy.Decryptor(ctx, kg.secret_key())
+    ev = pytroy.Evaluator(ctx)
+
+    rng = np.random.default_rng(5)
+    x = rng.integers(0, 50, (3, 4)).astype(np.uint64)
+    w = rng.integers(0, 50, (4, 5)).astype(np.uint64)
+    mask = rng.integers(0, 1000, (3, 5)).astype(np.uint64)
+    want = (x.astype(object) @ w.astype(object) + mask) % t
+
+    for pack in (False, True):
+        helper = pytroy.MatmulHelper(3, 4, 5, N, objective=0, pack_lwe=pack)
+        we = helper.deserialize_encoded_weights(
+            helper.serialize_encoded_weights(helper.encode_weights(enc, w)))
+        y = helper.matmul(ev, helper.encrypt_inputs(encryptor, enc, x), we)
+        if pack:
+            y = helper.pack_outputs(ev, kg.create_automorphism_keys(), y)
+        y.add_plain_inplace(ev, helper.encode_outputs(enc, mask))
+        got = helper.decrypt_outputs(enc, decryptor, y)
+        assert (got.astype(np.uint64) == want.astype(np.uint64)).all()
+
+
+def test_cipher2d_scalar_and_switch_key():
+    """Cipher2d multiply_scalar_inplace + switch_key re-keying
+    (reference: app/LinearHelper.cuh:124-143)."""
+    pytroy.initialize_kernel()
+    parms = _params(pytroy.SchemeType.bfv)
+    t = 1 << 16
+    parms.set_plain_modulus(t)
+    ctx = pytroy.SEALContext(parms, sec_level=pytroy.SecurityLevel.none)
+    kg = pytroy.KeyGenerator(ctx)
+    enc = pytroy.BatchEncoder(ctx)
+    encryptor = pytroy.Encryptor(ctx, kg.secret_key())
+    ev = pytroy.Evaluator(ctx)
+
+    x = np.arange(6, dtype=np.uint64).reshape(2, 3)
+    helper = pytroy.MatmulHelper(2, 3, 2, N, objective=0, pack_lwe=False)
+    c = helper.encrypt_inputs(encryptor, enc, x)
+    c.multiply_scalar_inplace(enc, ev, 5)
+
+    # re-key to a fresh secret key; decrypt must work under the NEW key.
+    # Direction per the reference (test/evaluator_cuda.cu:2553): the
+    # generator holds the TARGET key, the argument is the SOURCE key.
+    kg2 = pytroy.KeyGenerator(ctx)
+    ksk = kg2.create_keyswitching_keys(kg.secret_key())
+    c.switch_key(ev, ksk)
+    dec2 = pytroy.Decryptor(ctx, kg2.secret_key())
+    got = enc.decode_polynomial(dec2.decrypt(
+        pytroy.Ciphertext(c._inner.data[0][0])))
+    # first input tile row: x[0] * 5 at the packed positions
+    assert list(got[:3]) == [0, 5, 10]

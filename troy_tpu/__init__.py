@@ -18,7 +18,7 @@ from .modulus import (  # noqa: E402
     Modulus, CoeffModulus, PlainModulus, SecurityLevel,
 )
 from .params import (  # noqa: E402
-    EncryptionParameters, SchemeType, ParmsID,
+    EncryptionParameters, SchemeType, ParmsID, PARMS_ID_ZERO,
 )
 from .context import HeContext, ContextData  # noqa: E402
 from .he_types import (  # noqa: E402

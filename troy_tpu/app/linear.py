@@ -48,8 +48,14 @@ class Plain2d:
 
     def encrypt_symmetric(self, encryptor: Encryptor,
                           save_seed: bool = False) -> "Cipher2d":
-        return Cipher2d([[encryptor.encrypt_symmetric(p, save_seed)
-                          for p in row] for row in self.data])
+        # batched: one upload + one executable for all tiles
+        flat = [p for row in self.data for p in row]
+        cts = encryptor.encrypt_symmetric_many(flat, save_seed)
+        out, i = [], 0
+        for row in self.data:
+            out.append(cts[i:i + len(row)])
+            i += len(row)
+        return Cipher2d(out)
 
 
 class Cipher2d:
@@ -104,6 +110,20 @@ class Cipher2d:
     def add_plain(self, ev: Evaluator, other: Plain2d) -> "Cipher2d":
         return Cipher2d([[ev.add_plain(a, b) for a, b in zip(r1, r2)]
                          for r1, r2 in zip(self.data, other.data)])
+
+    def switch_key(self, ev: Evaluator, ksk) -> "Cipher2d":
+        """Re-key every ciphertext (LinearHelper.cuh:124 switch_key)."""
+        return Cipher2d([[ev.apply_keyswitching(c, ksk) for c in row]
+                         for row in self.data])
+
+    def multiply_scalar(self, ev: Evaluator,
+                        encode_poly: Callable[[np.ndarray], Plaintext],
+                        scalar: int) -> "Cipher2d":
+        """Multiply every ciphertext by the constant polynomial [scalar]
+        (LinearHelper.cuh:134 multiplyScalarInplace)."""
+        p = encode_poly(np.array([scalar], dtype=np.uint64))
+        return Cipher2d([[ev.multiply_plain(c, p) for c in row]
+                         for row in self.data])
 
 
 class MatmulHelper:
@@ -314,6 +334,80 @@ class MatmulHelper:
                     dj += 1
                 di += 1
         return dec
+
+    def encode_outputs(self, encode_poly: Callable[[np.ndarray], Plaintext],
+                       outputs: np.ndarray) -> Plain2d:
+        """Encode an output matrix into the exact packed layout the matmul
+        produces — the server uses it to add/subtract masks on the result
+        (LinearHelper.cuh:481-560 encodeOutputs). outputs:
+        (batch_size, output_dims)."""
+        outputs = np.asarray(outputs)
+        iB, oB = self.input_block, self.output_block
+        if not self.pack_lwe:
+            rows = []
+            for li in range(0, self.batch_size, self.batch_block):
+                ui = min(li + self.batch_block, self.batch_size)
+                row = []
+                for lj in range(0, self.output_dims, oB):
+                    uj = min(lj + oB, self.output_dims)
+                    vec = np.zeros(self.slot_count, dtype=outputs.dtype)
+                    for i in range(li, ui):
+                        for j in range(lj, uj):
+                            vec[(i - li) * iB * oB + (j - lj) * iB
+                                + iB - 1] = outputs[i, j]
+                    row.append(encode_poly(vec))
+                rows.append(row)
+            return Plain2d(rows)
+        ob_count = ceil_div(self.output_dims, oB)
+        bb_count = ceil_div(self.batch_size, self.batch_block)
+        bufs = [np.zeros(self.slot_count, dtype=outputs.dtype)
+                for _ in range(ceil_div(bb_count * ob_count, iB))]
+        di = 0
+        for li in range(0, self.batch_size, self.batch_block):
+            ui = min(li + self.batch_block, self.batch_size)
+            dj = 0
+            for lj in range(0, self.output_dims, oB):
+                uj = min(lj + oB, self.output_dims)
+                cipher_id = di * ob_count + dj
+                packed_id, packed_off = divmod(cipher_id, iB)
+                for i in range(li, ui):
+                    for j in range(lj, uj):
+                        bufs[packed_id][(i - li) * iB * oB + (j - lj) * iB
+                                        + packed_off] = outputs[i, j]
+                dj += 1
+            di += 1
+        return Plain2d([[encode_poly(b) for b in bufs]])
+
+    # ---- encoded-weight serialization (LinearHelper.cuh:652-684) ----
+    def serialize_encoded_weights(self, w: Plain2d) -> bytes:
+        rows = len(w.data)
+        cols = len(w.data[0]) if rows else 0
+        if rows == 0 or cols == 0:
+            raise ValueError("empty weight matrix")
+        out = [_struct.pack("<QQ", rows, cols)]
+        for row in w.data:
+            if len(row) != cols:
+                raise ValueError("weight matrix is not rectangular")
+            for pt in row:
+                blob = ser.save_plaintext(pt)
+                out.append(_struct.pack("<Q", len(blob)))
+                out.append(blob)
+        return b"".join(out)
+
+    @staticmethod
+    def deserialize_encoded_weights(raw: bytes) -> Plain2d:
+        rows, cols = _struct.unpack("<QQ", raw[:16])
+        off = 16
+        data = []
+        for _ in range(rows):
+            row = []
+            for _ in range(cols):
+                ln, = _struct.unpack("<Q", raw[off:off + 8])
+                off += 8
+                row.append(ser.load_plaintext(raw[off:off + ln]))
+                off += ln
+            data.append(row)
+        return Plain2d(data)
 
     # ---- LWE-trace packing (LinearHelper.cuh:592-650 packOutputs) ----
     def pack_outputs(self, ev: Evaluator, auto_keys: GaloisKeys,
@@ -607,6 +701,45 @@ class Conv2dHelper:
                                         buf[self._mask_index(b - lb, c - lc,
                                                              i, j, yh, yw)]
         return ret
+
+    def encode_outputs(self, encode_poly, outputs: np.ndarray) -> Plain2d:
+        """Encode (batch, out_channels, H-kh+1, W-kw+1) outputs into the
+        conv's packed layout (LinearHelper.cuh encodeOutputs on
+        Conv2dHelper) — for server-side masking of results."""
+        outputs = np.asarray(outputs)
+        kh, kw = self.kernel_height - 1, self.kernel_width - 1
+        yh = self.block_height - kh
+        yw = self.block_width - kw
+        oyh = self.image_height - kh
+        oyw = self.image_width - kw
+        if outputs.shape != (self.batch_size, self.output_channels, oyh, oyw):
+            raise ValueError("outputs shape incorrect")
+        sh = ceil_div(self.image_height - kh, self.block_height - kh)
+        sw = ceil_div(self.image_width - kw, self.block_width - kw)
+        bco = self.block_out_channels
+        rows = []
+        for eb in range(self.total_batch_size()):
+            ob = eb // (sh * sw)
+            si = (eb % (sh * sw)) // sw
+            sj = eb % sw
+            lb = ob * self.block_batch
+            ub = min(lb + self.block_batch, self.batch_size)
+            group = []
+            for lc in range(0, self.output_channels, bco):
+                uc = min(lc + bco, self.output_channels)
+                vec = np.zeros(self.slot_count, dtype=outputs.dtype)
+                for b in range(lb, ub):
+                    for c in range(lc, uc):
+                        for i in range(yh):
+                            for j in range(yw):
+                                if si * yh + i < oyh and sj * yw + j < oyw:
+                                    vec[self._mask_index(
+                                        b - lb, c - lc, i, j, yh, yw)] = \
+                                        outputs[b, c, si * yh + i,
+                                                sj * yw + j]
+                group.append(encode_poly(vec))
+            rows.append(group)
+        return Plain2d(rows)
 
     def serialize_outputs(self, ev: Evaluator, context: HeContext,
                           x: Cipher2d) -> bytes:

@@ -118,6 +118,23 @@ class ContextData:
                 if self._level + 1 < len(chain) else None)
 
 
+# parms_id <-> chain-level registry so detached Plaintext/Ciphertext
+# wrappers can honour the binder's set_parms_id/parms_id (binder.cu:237-268)
+# without holding a context reference. ParmsIDs are blake2b-256 of the full
+# parameter set, so cross-context collisions cannot occur; level->parms uses
+# the most recently constructed context (one context per process in
+# practice, as in the reference's binder tests).
+_PARMS_TO_LEVEL: dict = {}
+_LEVEL_TO_PARMS: dict = {}
+
+
+def _register_context_chain(inner) -> None:
+    _LEVEL_TO_PARMS.clear()
+    for cd in inner.chain:
+        _PARMS_TO_LEVEL[bytes(cd.parms_id)] = cd.chain_index
+        _LEVEL_TO_PARMS[cd.chain_index] = bytes(cd.parms_id)
+
+
 class SEALContext:
     def __init__(self, parms: EncryptionParameters,
                  expand_mod_chain: bool = True,
@@ -125,6 +142,7 @@ class SEALContext:
         self._inner = _t.HeContext(parms._freeze(),
                                    expand_mod_chain=expand_mod_chain,
                                    sec_level=sec_level)
+        _register_context_chain(self._inner)
 
     def _level_of(self, parms_id) -> int:
         cd = self._inner.get_context_data_by_parms_id(parms_id)
@@ -192,6 +210,17 @@ class Plaintext(_Wrapper):
     def to_string(self) -> str:
         return _t.plaintext_to_string(self._inner)
 
+    def parms_id(self):
+        """ParmsID of the level this plaintext lives at (binder.cu:237);
+        mod-t coefficient plaintexts have no level -> zero ParmsID."""
+        lvl = self._inner.level
+        return (_t.PARMS_ID_ZERO if lvl is None
+                else _LEVEL_TO_PARMS.get(lvl, _t.PARMS_ID_ZERO))
+
+    def set_parms_id(self, parms_id):
+        self._inner = self._inner.replace(
+            level=_PARMS_TO_LEVEL[bytes(parms_id)])
+
     def save(self) -> bytes:
         return _ser.save_plaintext(self._inner)
 
@@ -226,6 +255,30 @@ class Ciphertext(_Wrapper):
 
     def size(self) -> int:
         return int(self._inner.size)
+
+    def parms_id(self):
+        return _LEVEL_TO_PARMS.get(self._inner.level, _t.PARMS_ID_ZERO)
+
+    def set_parms_id(self, parms_id):
+        self._inner = self._inner.replace(
+            level=_PARMS_TO_LEVEL[bytes(parms_id)])
+
+    def resize(self, size: int):
+        """Grow/shrink the ciphertext's component count with zero padding
+        (binder.cu:265 Ciphertext::resize)."""
+        import jax.numpy as jnp
+        data = self._inner.data
+        size = int(size)
+        if size < data.shape[0]:
+            data = data[:size]
+        elif size > data.shape[0]:
+            pad = jnp.zeros((size - data.shape[0],) + data.shape[1:],
+                            dtype=data.dtype)
+            data = jnp.concatenate([data, pad], axis=0)
+        self._inner = self._inner.replace(data=data)
+
+    def reserve(self, size: int):
+        """No-op: XLA owns buffer capacity (binder.cu:266)."""
 
     def save(self) -> bytes:
         return _ser.save_ciphertext(self._inner)
@@ -642,6 +695,20 @@ class Evaluator:
         return _assign_or_return(
             self._inner.multiply_plain(c._inner, p._inner), out)
 
+    def multiply_plain_1000(self, c: Ciphertext, p: Plaintext) -> Ciphertext:
+        """Benchmark helper: 1000 repeated multiply_plain calls
+        (binder.cu:637)."""
+        ret = None
+        for _ in range(1000):
+            ret = self._inner.multiply_plain(c._inner, p._inner)
+        return Ciphertext(ret)
+
+    def multiply_batch(self, cs: Sequence[Ciphertext],
+                       ps: Sequence[Plaintext]) -> List[Ciphertext]:
+        """Pairwise multiply_plain over two sequences (binder.cu:644)."""
+        return [Ciphertext(self._inner.multiply_plain(c._inner, p._inner))
+                for c, p in zip(cs, ps)]
+
     def multiply_plain_inplace(self, c: Ciphertext, p: Plaintext):
         c._inner = self._inner.multiply_plain(c._inner, p._inner)
 
@@ -798,6 +865,15 @@ class Cipher2d:
     def relinearize(self, evaluator: Evaluator, rlk: RelinKeys):
         self._inner = self._inner.relinearize(evaluator._inner, rlk._inner)
 
+    def switch_key(self, evaluator: Evaluator, ksk: KSwitchKeys):
+        self._inner = self._inner.switch_key(evaluator._inner, ksk._inner)
+
+    def multiply_scalar_inplace(self, encoder, evaluator: Evaluator,
+                                scalar: int):
+        enc = encoder._inner if hasattr(encoder, "_inner") else encoder
+        self._inner = self._inner.multiply_scalar(
+            evaluator._inner, enc.encode_polynomial, int(scalar))
+
 
 class MatmulHelper:
     def __init__(self, batch_size: int, input_dims: int, output_dims: int,
@@ -828,10 +904,20 @@ class MatmulHelper:
         return Cipher2d(self._inner.encrypt_inputs(
             encryptor._inner, ep, np.asarray(inputs, dtype=np.uint64)))
 
-    def matmul(self, evaluator: Evaluator, a: Cipher2d,
-               w: Plain2d) -> Cipher2d:
-        return Cipher2d(self._inner.matmul(evaluator._inner, a._inner,
-                                           w._inner))
+    def matmul(self, evaluator: Evaluator, a, w) -> Cipher2d:
+        """Dispatches on operand types like the binder's overload set
+        (binder.cu:773-781): (Cipher2d, Plain2d) -> matmul,
+        (Cipher2d, Cipher2d) -> matmulCipher,
+        (Plain2d, Cipher2d) -> matmulReverse."""
+        if isinstance(a, Cipher2d) and isinstance(w, Plain2d):
+            return Cipher2d(self._inner.matmul(evaluator._inner, a._inner,
+                                               w._inner))
+        if isinstance(a, Cipher2d) and isinstance(w, Cipher2d):
+            return self.matmul_cipher(evaluator, a, w)
+        if isinstance(a, Plain2d) and isinstance(w, Cipher2d):
+            return self.matmul_reverse(evaluator, a, w)
+        raise TypeError("matmul expects (Cipher2d, Plain2d), "
+                        "(Cipher2d, Cipher2d) or (Plain2d, Cipher2d)")
 
     def matmul_cipher(self, evaluator: Evaluator, a: Cipher2d,
                       w: Cipher2d) -> Cipher2d:
@@ -864,6 +950,17 @@ class MatmulHelper:
         _, dp = self._poly_codec(encoder)
         return self._inner.decrypt_outputs(dp, decryptor._inner,
                                            outputs._inner)
+
+    def encode_outputs(self, encoder, outputs) -> Plain2d:
+        ep, _ = self._poly_codec(encoder)
+        return Plain2d(self._inner.encode_outputs(
+            ep, np.asarray(outputs, dtype=np.uint64)))
+
+    def serialize_encoded_weights(self, w: Plain2d) -> bytes:
+        return self._inner.serialize_encoded_weights(w._inner)
+
+    def deserialize_encoded_weights(self, raw: bytes) -> Plain2d:
+        return Plain2d(self._inner.deserialize_encoded_weights(raw))
 
 
 class Conv2dHelper:
@@ -919,3 +1016,8 @@ class Conv2dHelper:
         _, dp = self._poly_codec(encoder)
         return self._inner.decrypt_outputs(dp, decryptor._inner,
                                            outputs._inner)
+
+    def encode_outputs(self, encoder, outputs) -> Plain2d:
+        ep, _ = self._poly_codec(encoder)
+        return Plain2d(self._inner.encode_outputs(
+            ep, np.asarray(outputs, dtype=np.uint64)))

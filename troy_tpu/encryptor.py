@@ -28,8 +28,9 @@ class Encryptor:
                  public_key: Optional[PublicKey] = None,
                  secret_key: Optional[SecretKey] = None,
                  seed: Optional[bytes] = None):
-        if public_key is None and secret_key is None:
-            raise ValueError("need a public or secret key")
+        # keyless construction allowed: the reference's Encryptor(context)
+        # + setPublicKey/setSecretKey pattern (binder.cu:464-469); key
+        # presence is checked at encryption time instead.
         self.context = context
         self._pk = public_key
         self._sk = secret_key
@@ -43,6 +44,57 @@ class Encryptor:
                           save_seed: bool = False) -> Ciphertext:
         return self._encrypt_internal(plain, asymmetric=False,
                                       save_seed=save_seed)
+
+    def encrypt_symmetric_many(self, plains, save_seed: bool = False):
+        """Batched symmetric encryption: ONE host->device upload and one
+        fused executable for the whole batch (the tunnel charges ~30-60 ms
+        per transfer; the app layer encrypts many ciphertexts at once).
+        All plaintexts must share a representation/level."""
+        import jax
+        import jax.numpy as jnp
+        from .ops import poly as dpoly
+        from .ops import ntt as dntt
+
+        plains = list(plains)
+        if not plains:
+            return []
+        scheme = self.context.scheme
+        if self._sk is None:
+            raise ValueError("no secret key set")
+        if scheme == SchemeType.ckks:
+            cd = self.context.get_context_data(plains[0].level)
+        else:
+            cd = self.context.first_context_data
+        is_ntt = scheme in (SchemeType.ckks, SchemeType.bgv)
+        seeds, bufs = rlwe.sample_zero_sym_batch(cd, self._prng, len(plains))
+        zeros = rlwe._zero_sym_batch_core(
+            jnp.asarray(bufs), self._sk.data, cd, is_ntt)   # (B, 2, k, n)
+
+        m = jnp.stack([self._pad(p.data, cd.n) if not p.is_ntt_form
+                       else p.data for p in plains])
+        if scheme == SchemeType.bfv:
+            c0 = jax.vmap(lambda c, mm: dpoly.bfv_multiply_add_plain(
+                mm, c, int(cd.plain_modulus),
+                cd.coeff_modulus_mod_plain_modulus,
+                cd.coeff_div_plain_modulus, cd.ntt))(zeros[:, 0], m)
+        elif scheme == SchemeType.ckks:
+            c0 = jax.vmap(lambda c, mm: dpoly.rns_add(c, mm, cd.ntt))(
+                zeros[:, 0], m)
+        else:  # bgv
+            def one(c, mm):
+                lifted = dpoly.plain_lift(
+                    mm, cd.ntt, int(cd.plain_modulus),
+                    cd.plain_upper_half_threshold, cd.total_coeff_modulus)
+                return dpoly.rns_add(
+                    c, dntt.rns_ntt_forward(lifted, cd.ntt), cd.ntt)
+            c0 = jax.vmap(one)(zeros[:, 0], m)
+        data = zeros.at[:, 0].set(c0)
+        scale = plains[0].scale if scheme == SchemeType.ckks else 1.0
+        return [Ciphertext(data=data[i], level=cd.chain_index,
+                           is_ntt_form=is_ntt, scale=scale,
+                           correction_factor=1,
+                           seed=seeds[i] if save_seed else 0)
+                for i in range(len(plains))]
 
     def encrypt_zero(self, level: Optional[int] = None,
                      asymmetric: bool = True,

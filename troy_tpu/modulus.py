@@ -53,6 +53,20 @@ def he_std_max_coeff_bits(poly_modulus_degree: int, sec: SecurityLevel) -> int:
     return 0
 
 
+class _CallableBool(int):
+    """Truthy like a bool but also callable — the reference binds
+    Modulus::isPrime as a *method* (binder.cu:168) while troy_tpu exposes
+    it as an attribute; this type serves both call sites."""
+
+    __slots__ = ()
+
+    def __call__(self) -> bool:
+        return bool(self)
+
+    def __repr__(self) -> str:
+        return repr(bool(self))
+
+
 @dataclass(frozen=True)
 class Modulus:
     """An integer modulus q < 2^61 with a precomputed Barrett ratio
@@ -72,11 +86,12 @@ class Modulus:
             object.__setattr__(self, "const_ratio",
                                (ratio & ((1 << 64) - 1), ratio >> 64, rem))
             object.__setattr__(self, "bit_count", v.bit_length())
-            object.__setattr__(self, "is_prime", numth.is_prime(v))
+            object.__setattr__(self, "is_prime",
+                               _CallableBool(numth.is_prime(v)))
         else:
             object.__setattr__(self, "const_ratio", (0, 0, 0))
             object.__setattr__(self, "bit_count", 0)
-            object.__setattr__(self, "is_prime", False)
+            object.__setattr__(self, "is_prime", _CallableBool(False))
 
     def is_zero(self) -> bool:
         return self.value == 0

@@ -108,6 +108,33 @@ def encrypt_zero_symmetric(
 
 
 @partial(jax.jit, static_argnames=("is_ntt_form",))
+def _zero_sym_batch_core(bufs: jnp.ndarray, sk_data: jnp.ndarray,
+                         cd: ContextData,
+                         is_ntt_form: bool) -> jnp.ndarray:
+    """Batched symmetric zero-encryption: bufs (B, k*n + n) -> (B, 2, k, n).
+    One upload and one executable for the whole batch (the app layer's
+    encrypt_inputs encrypts many ciphertexts at once)."""
+    return jax.vmap(
+        lambda b: _zero_sym_core.__wrapped__(b, sk_data, cd, is_ntt_form)
+    )(bufs)
+
+
+def sample_zero_sym_batch(cd: ContextData,
+                          generator: rnd.UniformRandomGenerator,
+                          count: int):
+    """Host side of a batched symmetric encryption: (seeds, packed bufs)."""
+    k, n = cd.limbs, cd.n
+    seeds, bufs = [], []
+    for _ in range(count):
+        a_seed = generator.next_uint64() | 1
+        a = _sample_a_ntt_host(a_seed, cd)
+        e = rnd.sample_poly_cbd(generator, n)
+        seeds.append(a_seed)
+        bufs.append(np.concatenate([a.reshape(-1), e.view(np.uint64)]))
+    return seeds, np.stack(bufs)
+
+
+@partial(jax.jit, static_argnames=("is_ntt_form",))
 def _expand_seed_core(data: jnp.ndarray, a_flat: jnp.ndarray,
                       cd: ContextData, is_ntt_form: bool) -> jnp.ndarray:
     a = a_flat.reshape(cd.limbs, cd.n)

@@ -84,6 +84,49 @@ def batched_multiply_relin(context: HeContext, relin_keys: RelinKeys,
     return run
 
 
+def limb_sharded_multiply_relin(context: HeContext, relin_keys: RelinKeys,
+                                mesh: Mesh, axis_name: str = "dp"):
+    """Single-ciphertext multiply+relinearize with the RNS-LIMB axis
+    sharded over the mesh (tensor-parallel analogue; SURVEY.md section 2.2
+    mapping: "RNS-limb sharding").
+
+    Elementwise ops and the per-limb NTT are embarrassingly parallel
+    across limbs; the cross-limb contractions — the BEHZ base conversions
+    (q -> Bsk) and the key-switch inner product over decomposition limbs —
+    have their reduction axis sharded, so GSPMD lowers them to local
+    partial products + an ICI reduce (psum), exactly the hand-written
+    NCCL pattern a multi-GPU port would need, derived from annotations.
+    """
+    cd = context.first_context_data
+    key_cd = context.key_context_data
+    scheme = context.scheme
+    key = relin_keys.keys[2]
+    is_ntt = scheme in (SchemeType.ckks, SchemeType.bgv)
+
+    def one(d1, d2, cd, key, key_cd):
+        if scheme == SchemeType.bfv:
+            prod = ev_mod._bfv_multiply(d1, d2, cd)
+        else:
+            prod = ev_mod._ntt_form_multiply(d1, d2, cd)
+        delta = ev_mod._switch_key_core(prod[2], key, cd, key_cd, is_ntt)
+        c0 = ev_mod._add(prod[0][None], delta[0][None], cd)[0]
+        c1 = ev_mod._add(prod[1][None], delta[1][None], cd)[0]
+        return jnp.stack([c0, c1])
+
+    # (size, k, n): shard the limb axis; the ksk (decomp, 2, key_limbs, n)
+    # shards its decomposition axis to match the data limbs it consumes.
+    spec = NamedSharding(mesh, P(None, axis_name, None))
+    key_spec = NamedSharding(mesh, P(axis_name, None, None, None))
+
+    jitted = jax.jit(one, in_shardings=(spec, spec, None, key_spec, None),
+                     out_shardings=spec)
+
+    def run(d1, d2):
+        return jitted(d1, d2, cd, key, key_cd)
+
+    return run
+
+
 def coeff_sharded_multiply_relin(context: HeContext, relin_keys: RelinKeys,
                                  mesh: Mesh, axis_name: str = "dp"):
     """Single-ciphertext multiply+relinearize with the COEFFICIENT axis

@@ -10,7 +10,12 @@ src/encryptor_cuda.cu:92-236):
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
 
 from .context import HeContext, ContextData
 from .he_types import Ciphertext, Plaintext, PublicKey, SecretKey
@@ -19,6 +24,46 @@ from . import prng as rnd
 from . import rlwe
 from .ops import ntt as dntt
 from .ops import poly as dpoly
+
+
+def _embed_plain_c0(m: jnp.ndarray, c0: jnp.ndarray,
+                    cd: ContextData) -> jnp.ndarray:
+    """Scheme-specific embed of a plaintext into c0 (traced)."""
+    scheme = cd.scheme
+    if scheme == SchemeType.bfv:
+        # c0 += round(Q/t * m) (encryptor.cpp multiplyAddPlainWithScalingVariant)
+        return dpoly.bfv_multiply_add_plain(
+            m, c0, int(cd.plain_modulus), cd.coeff_modulus_mod_plain_modulus,
+            cd.coeff_div_plain_modulus, cd.ntt)
+    if scheme == SchemeType.ckks:
+        return dpoly.rns_add(c0, m, cd.ntt)
+    # bgv: centered lift, NTT, add
+    lifted = dpoly.plain_lift(
+        m, cd.ntt, int(cd.plain_modulus),
+        cd.plain_upper_half_threshold, cd.total_coeff_modulus)
+    return dpoly.rns_add(c0, dntt.rns_ntt_forward(lifted, cd.ntt), cd.ntt)
+
+
+@partial(jax.jit, static_argnames=("is_ntt_form",))
+def _encrypt_sym_full(seeds: jnp.ndarray, m: jnp.ndarray,
+                      sk_data: jnp.ndarray, cd: ContextData,
+                      is_ntt_form: bool) -> jnp.ndarray:
+    """One fused executable for a whole symmetric encryption: device threefry
+    sampling + zero encryption + plain embed. seeds: (2,) uint64 [a, e] —
+    the only host->device transfer besides the (device-resident) plaintext."""
+    ct = rlwe._zero_sym_core.__wrapped__(seeds[0], seeds[1], sk_data, cd,
+                                         is_ntt_form)
+    return ct.at[0].set(_embed_plain_c0(m, ct[0], cd))
+
+
+@partial(jax.jit, static_argnames=("is_ntt_form", "size"))
+def _encrypt_asym_full(seeds: jnp.ndarray, m: jnp.ndarray,
+                       pk_data: jnp.ndarray, cd: ContextData,
+                       is_ntt_form: bool, size: int) -> jnp.ndarray:
+    """Fused asymmetric encryption: seeds (1+size,) uint64 [u, e_0..]."""
+    ct = rlwe._zero_asym_core.__wrapped__(seeds[0], seeds[1:], pk_data, cd,
+                                          is_ntt_form, size)
+    return ct.at[0].set(_embed_plain_c0(m, ct[0], cd))
 
 
 class Encryptor:
@@ -66,9 +111,11 @@ class Encryptor:
         else:
             cd = self.context.first_context_data
         is_ntt = scheme in (SchemeType.ckks, SchemeType.bgv)
-        seeds, bufs = rlwe.sample_zero_sym_batch(cd, self._prng, len(plains))
+        seeds, (a_arr, e_arr) = rlwe.sample_zero_sym_batch(
+            cd, self._prng, len(plains))
         zeros = rlwe._zero_sym_batch_core(
-            jnp.asarray(bufs), self._sk.data, cd, is_ntt)   # (B, 2, k, n)
+            jnp.asarray(a_arr), jnp.asarray(e_arr),
+            self._sk.data, cd, is_ntt)                      # (B, 2, k, n)
 
         m = jnp.stack([self._pad(p.data, cd.n) if not p.is_ntt_form
                        else p.data for p in plains])
@@ -136,36 +183,40 @@ class Encryptor:
     def _encrypt_internal(self, plain: Plaintext, asymmetric: bool,
                           save_seed: bool) -> Ciphertext:
         scheme = self.context.scheme
-        if scheme == SchemeType.bfv:
-            if plain.is_ntt_form:
-                raise ValueError("BFV plaintext must be in coefficient form")
-            cd = self.context.first_context_data
-            ct = self._zero(cd, False, asymmetric, save_seed)
-            # c0 += round(Q/t * m)  (encryptor.cpp multiplyAddPlainWithScalingVariant)
-            c0 = dpoly.bfv_multiply_add_plain(
-                self._pad(plain.data, cd.n), ct.data[0],
-                int(cd.plain_modulus), cd.coeff_modulus_mod_plain_modulus,
-                cd.coeff_div_plain_modulus, cd.ntt)
-            return ct.replace(data=ct.data.at[0].set(c0))
-
         if scheme == SchemeType.ckks:
             if not plain.is_ntt_form or plain.level is None:
                 raise ValueError("CKKS plaintext must be NTT form at a level")
             cd = self.context.get_context_data(plain.level)
-            ct = self._zero(cd, True, asymmetric, save_seed)
-            c0 = dpoly.rns_add(ct.data[0], plain.data, cd.ntt)
-            return ct.replace(data=ct.data.at[0].set(c0), scale=plain.scale)
-
-        if scheme == SchemeType.bgv:
+            m = plain.data
+            is_ntt = True
+        else:
             if plain.is_ntt_form:
-                raise ValueError("BGV plaintext must be in coefficient form")
+                raise ValueError(f"{scheme.name} plaintext must be in "
+                                 "coefficient form")
             cd = self.context.first_context_data
-            ct = self._zero(cd, True, asymmetric, save_seed)
-            lifted = dpoly.plain_lift(
-                self._pad(plain.data, cd.n), cd.ntt, int(cd.plain_modulus),
-                cd.plain_upper_half_threshold, cd.total_coeff_modulus)
-            m_ntt = dntt.rns_ntt_forward(lifted, cd.ntt)
-            c0 = dpoly.rns_add(ct.data[0], m_ntt, cd.ntt)
-            return ct.replace(data=ct.data.at[0].set(c0))
+            m = self._pad(plain.data, cd.n)
+            is_ntt = scheme == SchemeType.bgv
 
-        raise ValueError("unsupported scheme")
+        if asymmetric:
+            if self._pk is None:
+                raise ValueError("no public key set")
+            size = self._pk.data.shape[0]
+            seeds = np.asarray(
+                [self._prng.next_uint64() for _ in range(1 + size)],
+                dtype=np.uint64)
+            data = _encrypt_asym_full(jnp.asarray(seeds), m, self._pk.data,
+                                      cd, is_ntt, size)
+            a_seed = 0
+        else:
+            if self._sk is None:
+                raise ValueError("no secret key set")
+            a_seed = self._prng.next_uint64() | 1
+            e_seed = self._prng.next_uint64()
+            seeds = np.asarray([a_seed, e_seed], dtype=np.uint64)
+            data = _encrypt_sym_full(jnp.asarray(seeds), m, self._sk.data,
+                                     cd, is_ntt)
+        return Ciphertext(
+            data=data, level=cd.chain_index, is_ntt_form=is_ntt,
+            scale=plain.scale if scheme == SchemeType.ckks else 1.0,
+            correction_factor=1,
+            seed=a_seed if (save_seed and not asymmetric) else 0)

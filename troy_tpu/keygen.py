@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Dict, List, Optional, Sequence
 
+import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .context import HeContext, ContextData
@@ -26,6 +28,30 @@ from .ops import ntt as dntt
 from .ops import rns as drns
 from .ops import u64ops as u
 from .utils import galois as galois_util
+
+
+@jax.jit
+def _kswitch_key_core(a_seeds: jnp.ndarray, e_seeds: jnp.ndarray,
+                      w_ntt: jnp.ndarray, sk_data: jnp.ndarray,
+                      key_cd) -> jnp.ndarray:
+    """Fused switching-key generation (keygenerator.cpp:294-338): decomp
+    fresh symmetric zero encryptions over the full key base (vmapped over
+    per-row seed pairs), with P*w added onto c0's limb j of row j."""
+    key_values = key_cd.coeff_values
+    decomp = len(key_values) - 1
+    p_special = key_values[-1]
+    zeros = jax.vmap(
+        lambda a, e: rlwe._zero_sym_core.__wrapped__(a, e, sk_data, key_cd,
+                                                     True)
+    )(a_seeds, e_seeds)                          # (decomp, 2, key_limbs, n)
+    rows = []
+    for j in range(decomp):
+        qj = key_values[j]
+        term = drns.smul(w_ntt[j], p_special % qj, qj)
+        rows.append(zeros[j, 0].at[j].set(
+            u.add_mod(zeros[j, 0, j], term, qj)))
+    c0 = jnp.stack(rows)
+    return jnp.stack([c0, zeros[:, 1]], axis=1)  # (decomp, 2, key_limbs, n)
 
 
 class KeyGenerator:
@@ -75,27 +101,23 @@ class KeyGenerator:
     # ---- generic switching key (keygenerator.cpp:294-338) ----
     def _generate_one_kswitch_key(self, w_ntt: jnp.ndarray) -> jnp.ndarray:
         """w_ntt: (>=decomp, n) NTT-form target over the key base prefix.
-        Returns the dense key array (decomp, 2, key_limbs, n)."""
+        Returns the dense key array (decomp, 2, key_limbs, n).
+
+        All decomposition rows are produced by ONE fused executable
+        (device-threefry sampling inside), so a whole switching key costs a
+        single dispatch instead of per-row round trips."""
         ctx = self.context
         if not ctx.using_keyswitching:
             raise ValueError("parameters do not support keyswitching "
                              "(need >= 2 coefficient moduli)")
         key_cd = ctx.key_context_data
-        key_values = key_cd.coeff_values
-        decomp = len(key_values) - 1
-        p_special = key_values[-1]
-
-        rows = []
-        for j in range(decomp):
-            ct = rlwe.encrypt_zero_symmetric(
-                key_cd, self._secret_key, self._prng, is_ntt_form=True)
-            qj = key_values[j]
-            factor = p_special % qj
-            term = drns.smul(w_ntt[j], factor, qj)
-            c0 = ct.data[0].at[j].set(
-                u.add_mod(ct.data[0][j], term, qj))
-            rows.append(jnp.stack([c0, ct.data[1]]))
-        return jnp.stack(rows)          # (decomp, 2, key_limbs, n)
+        decomp = len(key_cd.coeff_values) - 1
+        a_seeds = np.asarray([self._prng.next_uint64() | 1
+                              for _ in range(decomp)], dtype=np.uint64)
+        e_seeds = np.asarray([self._prng.next_uint64()
+                              for _ in range(decomp)], dtype=np.uint64)
+        return _kswitch_key_core(jnp.asarray(a_seeds), jnp.asarray(e_seeds),
+                                 w_ntt, self._secret_key.data, key_cd)
 
     # ---- relinearization keys (keygenerator.cpp:122) ----
     def create_relin_keys(self, count: int = 1) -> RelinKeys:

@@ -6,16 +6,20 @@ Semantics-compatible with the reference's rlwe layer
   * asymmetric: c_j = pk_j * u + e_j with ternary u;
   * BGV noise is scaled by the plain modulus t.
 
-The uniform polynomial a is sampled directly in NTT evaluation order (a
-uniform array is uniform in either order, as in the reference), so the
-hot-path products are pure dyadic ops; sampling itself is a deterministic
-host XOF (see troy_tpu.prng) — reproducible, unlike the reference's curand
-device path.
+TPU-native sampling: every polynomial draw happens ON DEVICE from a
+counter-based threefry stream (jax.random) keyed by a 64-bit seed, so one
+encryption uploads exactly TWO u64 scalars — no host XOF expansion and no
+megabyte buffer transfer (the reference's device path likewise samples on
+device with curand, rlwe_cuda.cu:34-151, but is not reproducible against
+its host path; threefry is deterministic on every backend, so our seed
+expansion and symmetric-ciphertext compression stay bit-reproducible).
+Uniform residues are the Barrett reduction of 128 random bits per
+coefficient (statistical distance < 2^-67 from uniform); CBD noise is the
+difference of two 21-bit popcounts (sigma ~= 3.24, globals.h:31-37
+analogue); ternary is a 64-bit draw mod 3 (bias < 2^-62).
 
-Transfer discipline: each encryption performs exactly ONE host->device
-upload (the packed sample buffer) and runs the entire device computation
-as one fused jit — on the axon tunnel every separate transfer costs
-~30-60 ms, and eagerly-evaluated table constants re-upload per call.
+The host-XOF samplers in troy_tpu.prng remain the keygen path (secret keys
+are sampled once, bit-reproducibly, from the blake2xb stream).
 """
 
 from __future__ import annotations
@@ -26,6 +30,7 @@ from typing import Optional, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from .context import ContextData
 from .he_types import Ciphertext, SecretKey, PublicKey
@@ -33,21 +38,57 @@ from .params import SchemeType
 from . import prng as rnd
 from .ops import ntt as dntt
 from .ops import poly as dpoly
+from .ops import u64ops as u
 
 U64 = jnp.uint64
+_M64 = (1 << 64) - 1
+_CBD_BITS = 21
 
 
-def _sample_a_ntt_host(seed: int, cd: ContextData) -> np.ndarray:
-    """Expand the 64-bit ciphertext seed into the uniform polynomial a
-    (NTT order) over this level's base (rlwe_cuda.cu:291-307 analogue)."""
-    gen = rnd.UniformRandomGenerator(rnd.seed_from_uint64(seed))
-    return rnd.sample_poly_uniform(gen, cd.n, cd.coeff_values)
+# --------------------------------------------------------------------------
+# device samplers (traced; key is a threefry key derived from a u64 seed)
+# --------------------------------------------------------------------------
+
+def _key_from_seed(seed: jnp.ndarray) -> jax.Array:
+    """Threefry key from a (traced) uint64 seed scalar."""
+    return jax.random.PRNGKey(seed.astype(jnp.uint64))
 
 
-@jax.jit
-def _lift_centered(e_u64: jnp.ndarray, cd: ContextData) -> jnp.ndarray:
-    """Centered int64 noise (bit-cast to u64) -> (k, n) RNS residues."""
-    e = e_u64.astype(jnp.int64)
+def sample_uniform_rns_dev(key: jax.Array, cd: ContextData) -> jnp.ndarray:
+    """(k, n) uniform residues over this level's base: Barrett reduction of
+    128 random bits per coefficient per limb (rlwe.cpp samplePolyUniform
+    analogue; rejection-free, bias < q/2^128)."""
+    k, n = cd.limbs, cd.n
+    bits = jax.random.bits(key, (2, k, n), dtype=U64)
+    outs = []
+    for i, q in enumerate(cd.coeff_values):
+        cr = (1 << 128) // q
+        outs.append(u.barrett_reduce_128(
+            bits[0, i], bits[1, i], q, (cr & _M64, (cr >> 64) & _M64, 0)))
+    return jnp.stack(outs)
+
+
+def sample_cbd_dev(key: jax.Array, n: int) -> jnp.ndarray:
+    """Centered binomial noise, sigma ~= 3.2: difference of two 21-bit
+    Hamming weights per coefficient (rlwe.cpp samplePolyCbd analogue).
+    Returns (n,) int64 centered values."""
+    bits = jax.random.bits(key, (n,), dtype=U64)
+    mask = jnp.uint64((1 << _CBD_BITS) - 1)
+    x = bits & mask
+    y = (bits >> jnp.uint64(_CBD_BITS)) & mask
+    return (lax.population_count(x).astype(jnp.int64)
+            - lax.population_count(y).astype(jnp.int64))
+
+
+def sample_ternary_dev(key: jax.Array, n: int) -> jnp.ndarray:
+    """Uniform ternary {-1, 0, 1} polynomial (rlwe.cpp samplePolyTernary
+    analogue). Returns (n,) int64."""
+    bits = jax.random.bits(key, (n,), dtype=U64)
+    return (bits % jnp.uint64(3)).astype(jnp.int64) - 1
+
+
+def _lift_centered_i64(e: jnp.ndarray, cd: ContextData) -> jnp.ndarray:
+    """Centered int64 noise -> (k, n) RNS residues."""
     outs = []
     for q in cd.coeff_values:
         r = e % jnp.int64(q)                     # Python-sign semantics
@@ -56,14 +97,27 @@ def _lift_centered(e_u64: jnp.ndarray, cd: ContextData) -> jnp.ndarray:
     return jnp.stack(outs)
 
 
+@jax.jit
+def _lift_centered(e_u64: jnp.ndarray, cd: ContextData) -> jnp.ndarray:
+    """Centered int64 noise (bit-cast to u64) -> (k, n) RNS residues."""
+    return _lift_centered_i64(e_u64.astype(jnp.int64), cd)
+
+
+# --------------------------------------------------------------------------
+# symmetric zero encryption
+# --------------------------------------------------------------------------
+
 @partial(jax.jit, static_argnames=("is_ntt_form",))
-def _zero_sym_core(buf: jnp.ndarray, sk_data: jnp.ndarray,
-                   cd: ContextData, is_ntt_form: bool) -> jnp.ndarray:
-    """Fused symmetric zero-encryption: buf packs [a (k*n); e (n)] u64."""
+def _zero_sym_core(a_seed: jnp.ndarray, e_seed: jnp.ndarray,
+                   sk_data: jnp.ndarray, cd: ContextData,
+                   is_ntt_form: bool) -> jnp.ndarray:
+    """Fully fused symmetric zero-encryption: sample a (NTT order) and e on
+    device, then c = (-(a*s + e), a). Only the two seed scalars cross the
+    host->device boundary."""
     t = cd.ntt
-    k, n = cd.limbs, cd.n
-    a = buf[:k * n].reshape(k, n)                # NTT order
-    e = _lift_centered(buf[k * n:], cd)          # coeff order
+    k = cd.limbs
+    a = sample_uniform_rns_dev(_key_from_seed(a_seed), cd)   # NTT order
+    e = _lift_centered_i64(sample_cbd_dev(_key_from_seed(e_seed), cd.n), cd)
     if cd.scheme == SchemeType.bgv:
         e = dpoly.rns_broadcast_scalar_mul(e, int(cd.plain_modulus), t)
     sk_level = sk_data[:k]
@@ -91,12 +145,10 @@ def encrypt_zero_symmetric(
     Returns (c0, c1) with c0 + c1*s = -e (respectively -t*e for BGV). When
     save_seed is set, the returned ciphertext's ``seed`` regenerates c1.
     """
-    k, n = cd.limbs, cd.n
     a_seed = generator.next_uint64() | 1     # nonzero marker
-    a = _sample_a_ntt_host(a_seed, cd)       # (k, n), NTT order
-    e = rnd.sample_poly_cbd(generator, n)    # (n,) centered
-    buf = np.concatenate([a.reshape(-1), e.view(np.uint64)])
-    data = _zero_sym_core(jnp.asarray(buf), sk.data, cd, is_ntt_form)
+    e_seed = generator.next_uint64()
+    data = _zero_sym_core(u.u64(a_seed), u.u64(e_seed), sk.data, cd,
+                          is_ntt_form)
     return Ciphertext(
         data=data,
         level=cd.chain_index,
@@ -108,36 +160,33 @@ def encrypt_zero_symmetric(
 
 
 @partial(jax.jit, static_argnames=("is_ntt_form",))
-def _zero_sym_batch_core(bufs: jnp.ndarray, sk_data: jnp.ndarray,
-                         cd: ContextData,
+def _zero_sym_batch_core(a_seeds: jnp.ndarray, e_seeds: jnp.ndarray,
+                         sk_data: jnp.ndarray, cd: ContextData,
                          is_ntt_form: bool) -> jnp.ndarray:
-    """Batched symmetric zero-encryption: bufs (B, k*n + n) -> (B, 2, k, n).
-    One upload and one executable for the whole batch (the app layer's
-    encrypt_inputs encrypts many ciphertexts at once)."""
+    """Batched symmetric zero-encryption: (B,) seed pairs -> (B, 2, k, n).
+    One dispatch for the whole batch (the app layer's encrypt_inputs
+    encrypts many ciphertexts at once)."""
     return jax.vmap(
-        lambda b: _zero_sym_core.__wrapped__(b, sk_data, cd, is_ntt_form)
-    )(bufs)
+        lambda a, e: _zero_sym_core.__wrapped__(a, e, sk_data, cd,
+                                                is_ntt_form)
+    )(a_seeds, e_seeds)
 
 
 def sample_zero_sym_batch(cd: ContextData,
                           generator: rnd.UniformRandomGenerator,
                           count: int):
-    """Host side of a batched symmetric encryption: (seeds, packed bufs)."""
-    k, n = cd.limbs, cd.n
-    seeds, bufs = [], []
-    for _ in range(count):
-        a_seed = generator.next_uint64() | 1
-        a = _sample_a_ntt_host(a_seed, cd)
-        e = rnd.sample_poly_cbd(generator, n)
-        seeds.append(a_seed)
-        bufs.append(np.concatenate([a.reshape(-1), e.view(np.uint64)]))
-    return seeds, np.stack(bufs)
+    """Host side of a batched symmetric encryption: (seeds, (a, e) seed
+    arrays) — sampling itself happens on device in the batch core."""
+    a_seeds = [generator.next_uint64() | 1 for _ in range(count)]
+    e_seeds = [generator.next_uint64() for _ in range(count)]
+    return a_seeds, (np.asarray(a_seeds, dtype=np.uint64),
+                     np.asarray(e_seeds, dtype=np.uint64))
 
 
 @partial(jax.jit, static_argnames=("is_ntt_form",))
-def _expand_seed_core(data: jnp.ndarray, a_flat: jnp.ndarray,
+def _expand_seed_core(data: jnp.ndarray, a_seed: jnp.ndarray,
                       cd: ContextData, is_ntt_form: bool) -> jnp.ndarray:
-    a = a_flat.reshape(cd.limbs, cd.n)
+    a = sample_uniform_rns_dev(_key_from_seed(a_seed), cd)
     if not is_ntt_form:
         a = dntt.rns_ntt_inverse(a, cd.ntt)
     return data.at[1].set(a)
@@ -145,30 +194,34 @@ def _expand_seed_core(data: jnp.ndarray, a_flat: jnp.ndarray,
 
 def expand_seed(ct: Ciphertext, cd: ContextData) -> Ciphertext:
     """Regenerate c1 of a seed-compressed symmetric ciphertext
-    (ciphertext_cuda.cu:27-41 loadTerms/seed expansion analogue)."""
+    (ciphertext_cuda.cu:27-41 seed expansion analogue). Reproduces the
+    exact device threefry draw the original encryption made."""
     if ct.seed == 0:
         return ct
-    a = _sample_a_ntt_host(ct.seed, cd)
-    data = _expand_seed_core(ct.data, jnp.asarray(a.reshape(-1)), cd,
-                             ct.is_ntt_form)
+    data = _expand_seed_core(ct.data, u.u64(ct.seed), cd, ct.is_ntt_form)
     return ct.replace(data=data, seed=0)
 
 
+# --------------------------------------------------------------------------
+# asymmetric zero encryption
+# --------------------------------------------------------------------------
+
 @partial(jax.jit, static_argnames=("is_ntt_form", "size"))
-def _zero_asym_core(buf: jnp.ndarray, pk_data: jnp.ndarray,
-                    cd: ContextData, is_ntt_form: bool,
-                    size: int) -> jnp.ndarray:
-    """Fused asymmetric zero-encryption: buf packs
-    [u (n); e_0 (n); ...; e_{size-1} (n)] as centered-int64-bitcast u64."""
+def _zero_asym_core(u_seed: jnp.ndarray, e_seeds: jnp.ndarray,
+                    pk_data: jnp.ndarray, cd: ContextData,
+                    is_ntt_form: bool, size: int) -> jnp.ndarray:
+    """Fused asymmetric zero-encryption: ternary u and per-component CBD
+    noise sampled on device; c_j = pk_j * u + e_j."""
     t = cd.ntt
     k, n = cd.limbs, cd.n
     tt = int(cd.plain_modulus)
-    u = _lift_centered(buf[:n], cd)
-    u_ntt = dntt.rns_ntt_forward(u, t)
+    uc = sample_ternary_dev(_key_from_seed(u_seed), n)
+    u_ntt = dntt.rns_ntt_forward(_lift_centered_i64(uc, cd), t)
     comps = []
     for j in range(size):
         cj = dntt.rns_dyadic_mul(u_ntt, pk_data[j][:k], t)
-        e = _lift_centered(buf[(1 + j) * n:(2 + j) * n], cd)
+        e = _lift_centered_i64(
+            sample_cbd_dev(_key_from_seed(e_seeds[j]), n), cd)
         if cd.scheme == SchemeType.bgv:
             e = dpoly.rns_broadcast_scalar_mul(e, tt, t)
         if is_ntt_form:
@@ -187,14 +240,12 @@ def encrypt_zero_asymmetric(
 ) -> Ciphertext:
     """Asymmetric encryption of zero at level cd (rlwe.cpp:95,
     rlwe_cuda.cu:193-260): c_j = pk_j * u + e_j, u ternary."""
-    n = cd.n
     size = pk.data.shape[0]
-    u_c = rnd.sample_poly_ternary(generator, n)
-    parts = [u_c.view(np.uint64)]
-    for _ in range(size):
-        parts.append(rnd.sample_poly_cbd(generator, n).view(np.uint64))
-    buf = np.concatenate(parts)
-    data = _zero_asym_core(jnp.asarray(buf), pk.data, cd, is_ntt_form, size)
+    u_seed = generator.next_uint64()
+    e_seeds = np.asarray([generator.next_uint64() for _ in range(size)],
+                         dtype=np.uint64)
+    data = _zero_asym_core(u.u64(u_seed), jnp.asarray(e_seeds), pk.data, cd,
+                           is_ntt_form, size)
     return Ciphertext(
         data=data,
         level=cd.chain_index,

@@ -359,6 +359,29 @@ def _bfv_add_plain(data: jnp.ndarray, m: jnp.ndarray, cd: ContextData,
 _bfv_add_plain_jit = jax.jit(_bfv_add_plain, static_argnames=("subtract",))
 
 
+@partial(jax.jit, static_argnames=("subtract",))
+def _add_plain_ntt_core(data: jnp.ndarray, m: jnp.ndarray, cd: ContextData,
+                        subtract: bool = False) -> jnp.ndarray:
+    """CKKS add/sub of an NTT-form plaintext onto c0, fused to one
+    executable (evaluator_cuda.cuh addPlain for NTT-form cts)."""
+    op = dpoly.rns_sub if subtract else dpoly.rns_add
+    return data.at[0].set(op(data[0], m, cd.ntt))
+
+
+@partial(jax.jit, static_argnames=("correction_factor", "subtract"))
+def _bgv_add_plain_core(data: jnp.ndarray, m: jnp.ndarray, cd: ContextData,
+                        correction_factor: int = 1,
+                        subtract: bool = False) -> jnp.ndarray:
+    """BGV add/sub of a mod-t plaintext: scale by the correction factor,
+    centered-lift, NTT, add onto c0 — one fused executable."""
+    t = int(cd.plain_modulus)
+    if correction_factor != 1:
+        m = drns.smul(m, correction_factor, t)
+    m_ntt = _plain_to_ntt.__wrapped__(m, cd)
+    op = dpoly.rns_sub if subtract else dpoly.rns_add
+    return data.at[0].set(op(data[0], m_ntt, cd.ntt))
+
+
 @jax.jit
 def _transform_to_ntt(data: jnp.ndarray, cd: ContextData) -> jnp.ndarray:
     return dntt.rns_ntt_forward(data, cd.ntt)
@@ -626,20 +649,16 @@ class Evaluator:
                 raise ValueError("CKKS plain must be NTT form at ct level")
             if not _scales_close(ct.scale, plain.scale):
                 raise ValueError("CKKS scales mismatch in add_plain")
-            op = _sub if subtract else _add
-            c0 = op(ct.data[0][None], plain.data[None], cd)[0]
-            return ct.replace(data=ct.data.at[0].set(c0), seed=0)
+            data = _add_plain_ntt_core(ct.data, plain.data, cd,
+                                       subtract=subtract)
+            return ct.replace(data=data, seed=0)
         if scheme == SchemeType.bgv:
             if plain.is_ntt_form:
                 raise ValueError("BGV add_plain expects mod-t plaintext")
-            t = int(cd.plain_modulus)
-            m = plain.data
-            if ct.correction_factor != 1:
-                m = drns.smul(m, ct.correction_factor, t)
-            m_ntt = _plain_to_ntt(m, cd)
-            op = _sub if subtract else _add
-            c0 = op(ct.data[0][None], m_ntt[None], cd)[0]
-            return ct.replace(data=ct.data.at[0].set(c0), seed=0)
+            data = _bgv_add_plain_core(ct.data, plain.data, cd,
+                                       correction_factor=ct.correction_factor,
+                                       subtract=subtract)
+            return ct.replace(data=data, seed=0)
         raise ValueError("unsupported scheme")
 
     def sub_plain(self, ct: Ciphertext, plain: Plaintext) -> Ciphertext:

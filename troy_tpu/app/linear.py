@@ -67,15 +67,23 @@ class Cipher2d:
     def __getitem__(self, i):
         return self.data[i]
 
-    def save(self) -> bytes:
+    def save(self, context: Optional[HeContext] = None) -> bytes:
         rows = len(self.data)
         cols = len(self.data[0]) if rows else 0
         out = [_struct.pack("<QQ", rows, cols)]
+        flat = [ct for row in self.data for ct in row]
+        # one batched device->host transfer for all tiles (seed-compressed
+        # tiles store c0 only, which the stacked fetch still covers)
+        hosts = ser.fetch_ciphertexts_host(flat, context) \
+            if all(c.data.shape == flat[0].data.shape for c in flat) \
+            else [None] * len(flat)
+        idx = 0
         for row in self.data:
             if len(row) != cols:
                 raise ValueError("not rectangular")
             for ct in row:
-                blob = ser.save_ciphertext(ct)
+                blob = ser.save_ciphertext(ct, host_data=hosts[idx])
+                idx += 1
                 out.append(_struct.pack("<Q", len(blob)))
                 out.append(blob)
         return b"".join(out)
@@ -304,20 +312,25 @@ class MatmulHelper:
         pos = self._output_positions()
         dec = np.zeros((self.batch_size, self.output_dims), dtype=np.object_)
         if not self.pack_lwe:
+            flat = [ct for row in outputs.data for ct in row]
+            plains = decryptor.decrypt_many(flat)   # one dispatch+transfer
+            bufs = [decode_poly(p) for p in plains]
+            cols = len(outputs.data[0])
             di = 0
             for li in range(0, self.batch_size, self.batch_block):
                 ui = min(li + self.batch_block, self.batch_size)
                 dj = 0
                 for lj in range(0, self.output_dims, oB):
                     uj = min(lj + oB, self.output_dims)
-                    buf = decode_poly(decryptor.decrypt(outputs[di][dj]))
+                    buf = bufs[di * cols + dj]
                     for i in range(li, ui):
                         for j in range(lj, uj):
                             dec[i, j] = buf[pos(i - li, j - lj)]
                     dj += 1
                 di += 1
         else:
-            bufs = [decode_poly(decryptor.decrypt(c)) for c in outputs[0]]
+            bufs = [decode_poly(p)
+                    for p in decryptor.decrypt_many(outputs[0])]
             ob_count = ceil_div(self.output_dims, oB)
             di = 0
             for li in range(0, self.batch_size, self.batch_block):
@@ -451,7 +464,10 @@ class MatmulHelper:
         out = []
         if not self.pack_lwe:
             pos = self._output_positions()
+            flat = [ct for row in x.data for ct in row]
+            hosts = ser.fetch_ciphertexts_host(flat, context, to_coeff=True)
             di = 0
+            idx = 0
             for li in range(0, self.batch_size, self.batch_block):
                 ui = min(li + self.batch_block, self.batch_size)
                 dj = 0
@@ -459,7 +475,9 @@ class MatmulHelper:
                     uj = min(lj + self.output_block, self.output_dims)
                     required = [pos(i - li, j - lj)
                                 for i in range(li, ui) for j in range(lj, uj)]
-                    blob = ser.save_terms(x[di][dj], context, required)
+                    blob = ser.save_terms(x[di][dj], context, required,
+                                          host_coeff_data=hosts[idx])
+                    idx += 1
                     out.append(_struct.pack("<Q", len(blob)))
                     out.append(blob)
                     dj += 1
@@ -470,8 +488,9 @@ class MatmulHelper:
                              self.input_block)
             if count != len(x.data[0]):
                 raise ValueError("output ciphertext count incorrect")
-            for ct in x[0]:
-                blob = ser.save_ciphertext(ct)
+            hosts = ser.fetch_ciphertexts_host(x[0], context)
+            for ct, h in zip(x[0], hosts):
+                blob = ser.save_ciphertext(ct, host_data=h)
                 out.append(_struct.pack("<Q", len(blob)))
                 out.append(blob)
         return b"".join(out)
@@ -683,6 +702,11 @@ class Conv2dHelper:
         bco = self.block_out_channels
         ret = np.zeros((self.batch_size, self.output_channels, oyh, oyw),
                        dtype=np.object_)
+        groups = ceil_div(self.output_channels, bco)
+        flat = [outputs[eb][g] for eb in range(self.total_batch_size())
+                for g in range(groups)]
+        plains = decryptor.decrypt_many(flat)       # one dispatch+transfer
+        bufs = [decode_poly(p) for p in plains]
         for eb in range(self.total_batch_size()):
             ob = eb // (sh * sw)
             si = (eb % (sh * sw)) // sw
@@ -691,7 +715,7 @@ class Conv2dHelper:
             ub = min(lb + self.block_batch, self.batch_size)
             for lc in range(0, self.output_channels, bco):
                 uc = min(lc + bco, self.output_channels)
-                buf = decode_poly(decryptor.decrypt(outputs[eb][lc // bco]))
+                buf = bufs[eb * groups + lc // bco]
                 for b in range(lb, ub):
                     for c in range(lc, uc):
                         for i in range(yh):
@@ -752,11 +776,13 @@ class Conv2dHelper:
                     for i in range(yh) for j in range(yw)]
         out = []
         groups = ceil_div(self.output_channels, self.block_out_channels)
-        for b in range(self.total_batch_size()):
-            for oc in range(groups):
-                blob = ser.save_terms(x[b][oc], context, required)
-                out.append(_struct.pack("<Q", len(blob)))
-                out.append(blob)
+        flat = [x[b][oc] for b in range(self.total_batch_size())
+                for oc in range(groups)]
+        hosts = ser.fetch_ciphertexts_host(flat, context, to_coeff=True)
+        for ct, h in zip(flat, hosts):
+            blob = ser.save_terms(ct, context, required, host_coeff_data=h)
+            out.append(_struct.pack("<Q", len(blob)))
+            out.append(blob)
         return b"".join(out)
 
     def deserialize_outputs(self, ev: Evaluator, context: HeContext,

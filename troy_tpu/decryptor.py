@@ -67,6 +67,24 @@ def _decrypt_core(data: jnp.ndarray, sk_powers: Tuple[jnp.ndarray, ...],
     return m
 
 
+@partial(jax.jit, static_argnames=("is_ntt_form",))
+def _phase_ntt_many(data: jnp.ndarray, sk_powers: Tuple[jnp.ndarray, ...],
+                    cd: ContextData, is_ntt_form: bool) -> jnp.ndarray:
+    return jax.vmap(
+        lambda d: _phase_ntt_core.__wrapped__(d, sk_powers, cd, is_ntt_form)
+    )(data)
+
+
+@partial(jax.jit, static_argnames=("is_ntt_form", "inv_cf"))
+def _decrypt_many(data: jnp.ndarray, sk_powers: Tuple[jnp.ndarray, ...],
+                  cd: ContextData, is_ntt_form: bool,
+                  inv_cf: int) -> jnp.ndarray:
+    return jax.vmap(
+        lambda d: _decrypt_core.__wrapped__(d, sk_powers, cd, is_ntt_form,
+                                            inv_cf)
+    )(data)
+
+
 class Decryptor:
     """(decryptor.h:47)"""
 
@@ -102,6 +120,47 @@ class Decryptor:
             inv_cf = numth.invert_mod(ct.correction_factor % tt, tt)
         m = _decrypt_core(ct.data, powers, cd, ct.is_ntt_form, inv_cf)
         return Plaintext(data=m)
+
+    def decrypt_many(self, cts) -> list:
+        """Batched decryption: ONE fused executable and ONE device->host
+        transfer for a list of same-shape ciphertexts (the app layer's
+        decrypt_outputs decrypts many tiles; per-ciphertext dispatches cost
+        a full tunnel round trip each).
+
+        All ciphertexts must share size/level/NTT-form (and, for BGV,
+        correction factor). Returned plaintexts carry host numpy data."""
+        cts = list(cts)
+        if not cts:
+            return []
+        if len(cts) == 1:
+            # reuse the single-ciphertext executable (already compiled by
+            # normal use) instead of compiling a vmapped twin
+            return [self.decrypt(cts[0])]
+        first = cts[0]
+        for c in cts[1:]:
+            if (c.size != first.size or c.level != first.level
+                    or c.is_ntt_form != first.is_ntt_form
+                    or c.correction_factor != first.correction_factor):
+                raise ValueError("decrypt_many needs uniform ciphertexts")
+        cd = self.context.get_context_data(first.level)
+        scheme = self.context.scheme
+        powers = self._powers_for(first.size)
+        stacked = jnp.stack([c.data for c in cts])
+
+        if scheme == SchemeType.ckks:
+            out = _phase_ntt_many(stacked, powers, cd, first.is_ntt_form)
+            host = np.asarray(out)
+            return [Plaintext(data=host[i], level=first.level,
+                              is_ntt_form=True, scale=c.scale)
+                    for i, c in enumerate(cts)]
+
+        inv_cf = 1
+        if scheme == SchemeType.bgv and first.correction_factor != 1:
+            tt = int(cd.plain_modulus)
+            inv_cf = numth.invert_mod(first.correction_factor % tt, tt)
+        out = _decrypt_many(stacked, powers, cd, first.is_ntt_form, inv_cf)
+        host = np.asarray(out)
+        return [Plaintext(data=host[i]) for i in range(len(cts))]
 
     # ---- noise budget (decryptor.cpp invariantNoiseBudget; host-side) ----
     def invariant_noise_budget(self, ct: Ciphertext) -> int:

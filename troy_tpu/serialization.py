@@ -20,6 +20,7 @@ import struct as _struct
 from typing import List, Optional, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .context import HeContext
@@ -36,15 +37,50 @@ def _u64s(arr: np.ndarray) -> bytes:
     return np.ascontiguousarray(arr, dtype="<u8").tobytes()
 
 
+@jax.jit
+def _batch_intt(data, cd_ntt):
+    return dntt.rns_ntt_inverse(data, cd_ntt)
+
+
+def fetch_ciphertexts_host(cts: Sequence[Ciphertext], context: HeContext,
+                           to_coeff: bool = False) -> List[np.ndarray]:
+    """ONE device->host transfer for a list of same-shape ciphertexts.
+
+    Per-ciphertext ``np.asarray`` round trips dominate protocol
+    serialization on the device tunnel; stacking into a single transfer
+    (with the NTT inversion batched into one dispatch when ``to_coeff``)
+    makes the whole output sweep one round trip."""
+    if not cts:
+        return []
+    if len(cts) == 1:
+        # no batching win for one ciphertext — and introducing a new
+        # stacked executable costs a fresh compile in the degraded
+        # post-readback phase, far more than the single transfer saves
+        ct = cts[0]
+        if to_coeff and ct.is_ntt_form:
+            cd = context.get_context_data(ct.level)
+            return [np.asarray(dntt.rns_ntt_inverse(ct.data, cd.ntt))]
+        return [np.asarray(ct.data)]
+    stacked = jnp.stack([c.data for c in cts])
+    if to_coeff and cts[0].is_ntt_form:
+        cd = context.get_context_data(cts[0].level)
+        stacked = _batch_intt(stacked, cd.ntt)
+    host = np.asarray(stacked)
+    return [host[i] for i in range(len(cts))]
+
+
 # ---------------------------------------------------------------------------
 # ciphertexts
 # ---------------------------------------------------------------------------
 
-def save_ciphertext(ct: Ciphertext) -> bytes:
-    """(ciphertext_cuda.cu:16-42)"""
+def save_ciphertext(ct: Ciphertext,
+                    host_data: Optional[np.ndarray] = None) -> bytes:
+    """(ciphertext_cuda.cu:16-42). host_data: optional pre-fetched numpy
+    copy of ct.data (see fetch_ciphertexts_host) to avoid a per-call
+    device->host transfer."""
     if ct.seed != 0 and ct.size != 2:
         raise ValueError("seed-compressed ciphertext must have size 2")
-    data = np.asarray(ct.data)
+    data = np.asarray(ct.data) if host_data is None else host_data
     size, limbs, n = data.shape
     head = _MAGIC_CT + _struct.pack(
         "<BBHIQQdQ", ct.level, int(ct.is_ntt_form), size, limbs, n,
@@ -79,14 +115,20 @@ def load_ciphertext(raw: bytes, context: HeContext) -> Ciphertext:
 
 
 def save_terms(ct: Ciphertext, context: HeContext,
-               term_ids: Sequence[int]) -> bytes:
+               term_ids: Sequence[int],
+               host_coeff_data: Optional[np.ndarray] = None) -> bytes:
     """Partial save: selected c0 coefficients + full higher components
-    (ciphertext_cuda.cu:44-83 saveTerms)."""
+    (ciphertext_cuda.cu:44-83 saveTerms). host_coeff_data: optional
+    pre-fetched COEFFICIENT-domain numpy copy (fetch_ciphertexts_host with
+    to_coeff=True) to avoid a per-call iNTT dispatch + transfer."""
     if ct.seed != 0:
         raise ValueError("expand the seed before saving terms")
     cd = context.get_context_data(ct.level)
-    data = np.asarray(dntt.rns_ntt_inverse(ct.data, cd.ntt)
-                      if ct.is_ntt_form else ct.data)
+    if host_coeff_data is not None:
+        data = host_coeff_data
+    else:
+        data = np.asarray(dntt.rns_ntt_inverse(ct.data, cd.ntt)
+                          if ct.is_ntt_form else ct.data)
     size, limbs, n = data.shape
     head = _MAGIC_CT + _struct.pack(
         "<BBHIQQdQ", ct.level, int(ct.is_ntt_form), size, limbs, n,

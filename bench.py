@@ -85,14 +85,18 @@ def main():
     # reports "session poisoned"); that is a harness artifact, not TPU
     # behavior. Timing therefore runs before any readback, and the decrypt
     # correctness check (which needs host values) runs afterwards.
+    # Best-of-3 windows: the tunnel's dispatch latency wanders between
+    # sessions; the minimum window is the stable hardware-bound figure.
     for _ in range(5):
         out = step(ct1.data, ct2.data, cd, key, key_cd)
     out.block_until_ready()
-    t0 = time.time()
-    for _ in range(REPS):
-        out = step(ct1.data, ct2.data, cd, key, key_cd)
-    out.block_until_ready()
-    dt = (time.time() - t0) / REPS
+    dt = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(REPS):
+            out = step(ct1.data, ct2.data, cd, key, key_cd)
+        out.block_until_ready()
+        dt = min(dt, (time.time() - t0) / REPS)
     ops = 1.0 / dt
     log(f"mult+relin: {dt*1e3:.3f} ms/op, {ops:.1f} ops/s")
 

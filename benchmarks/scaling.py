@@ -28,6 +28,15 @@ import numpy as np  # noqa: E402
 
 def main():
     import jax
+    if os.environ.get("TROY_SCALING_BACKEND", "cpu") == "cpu":
+        # the axon site hook freezes JAX_PLATFORMS=axon at interpreter
+        # start; an explicit config update is the only reliable way to
+        # land on the virtual CPU mesh (see .claude/skills/verify)
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8").strip()
+        jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
     import troy_tpu as T
     from troy_tpu import prng as rnd

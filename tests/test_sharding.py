@@ -68,13 +68,80 @@ def test_coeff_sharded(setup):
     assert np.array_equal(got, (a * (a + 3)) % s["t"])
 
 
+def test_sharded_executables_contain_collectives(setup):
+    """The annotation-derived programs must really communicate: the
+    compiled HLO of the limb- and coefficient-sharded steps has to contain
+    cross-device collective ops (psum lowers to all-reduce; the 4-step-NTT
+    resharding lowers to all-to-all / collective-permute / all-gather).
+    This pins the §2.2 claim that GSPMD inserts the ICI collectives the
+    reference would have needed NCCL for."""
+    s = setup
+    a = np.arange(N, dtype=np.uint64)
+    ca = s["enc"].encrypt_symmetric(s["be"].encode(a)).data
+    cb = s["enc"].encrypt_symmetric(s["be"].encode(a + 1)).data
+
+    collective_re = (
+        "all-reduce|all-to-all|collective-permute|all-gather|reduce-scatter")
+    import re
+
+    # limb sharding needs the limb axis to cover the mesh: a 5-prime chain
+    # (4 data limbs) over a 4-device submesh — one limb per device. (With
+    # fewer limbs than devices GSPMD just replicates: no communication,
+    # no scaling — the degenerate case this test exists to catch.)
+    parms5 = T.EncryptionParameters(
+        scheme=T.SchemeType.bfv, poly_modulus_degree=N,
+        coeff_modulus=tuple(T.CoeffModulus.create(N, [30] * 5)),
+        plain_modulus=T.PlainModulus.batching(N, 16))
+    ctx5 = T.HeContext(parms5, sec_level=T.SecurityLevel.none)
+    kg5 = T.KeyGenerator(ctx5, seed=rnd.seed_from_uint64(21))
+    rlk5 = kg5.create_relin_keys()
+    enc5 = T.Encryptor(ctx5, secret_key=kg5.secret_key)
+    be5 = T.BatchEncoder(ctx5)
+    mesh4 = par.make_mesh(4)
+    e1 = enc5.encrypt_symmetric(be5.encode(a)).data
+    e2 = enc5.encrypt_symmetric(be5.encode(a + 1)).data
+
+    run_l = par.limb_sharded_multiply_relin(ctx5, rlk5, mesh4)
+    lspec = NamedSharding(mesh4, P(None, "dp", None))
+    hlo = run_l.jitted.lower(jax.device_put(e1, lspec),
+                             jax.device_put(e2, lspec),
+                             *run_l.args).compile().as_text()
+    assert re.search(collective_re, hlo), "limb-sharded HLO has no collectives"
+
+    # and it must still decrypt exactly
+    out_l = run_l(jax.device_put(e1, lspec), jax.device_put(e2, lspec))
+    dec5 = T.Decryptor(ctx5, kg5.secret_key)
+    t5 = int(ctx5.first_context_data.plain_modulus)
+    got = be5.decode(dec5.decrypt(T.Ciphertext(
+        data=np.asarray(out_l), level=ctx5.first_level)))
+    assert np.array_equal(got, (a * (a + 1)) % t5)
+
+    run_c = par.coeff_sharded_multiply_relin(s["ctx"], s["rlk"], s["mesh"])
+    cspec = NamedSharding(s["mesh"], P(None, None, "dp"))
+    d1 = jax.device_put(ca, cspec)
+    hlo = run_c.jitted.lower(d1, jax.device_put(cb, cspec),
+                             *run_c.args).compile().as_text()
+    assert re.search(collective_re, hlo), "coeff-sharded HLO has no collectives"
+
+    # DP must be collective-FREE on the data path: batches are independent
+    run_d = par.batched_multiply_relin(s["ctx"], s["rlk"], s["mesh"])
+    bspec = NamedSharding(s["mesh"], P("dp"))
+    b1 = jax.device_put(jnp.stack([ca] * 8), bspec)
+    b2 = jax.device_put(jnp.stack([cb] * 8), bspec)
+    hlo = run_d.jitted.lower(b1, b2, *run_d.args).compile().as_text()
+    assert not re.search("all-to-all|reduce-scatter", hlo), \
+        "DP should not reshard the batch"
+
+
 def test_limb_sharded(setup):
     s = setup
     a = np.arange(N, dtype=np.uint64)
     ca = s["enc"].encrypt_symmetric(s["be"].encode(a + 5))
     cb = s["enc"].encrypt_symmetric(s["be"].encode(a + 9))
-    run = par.limb_sharded_multiply_relin(s["ctx"], s["rlk"], s["mesh"])
-    spec = NamedSharding(s["mesh"], P(None, "dp", None))
+    # the limb axis (2 data limbs here) must cover the mesh: submesh of 2
+    mesh = par.make_mesh(min(8, s["ctx"].first_context_data.limbs))
+    run = par.limb_sharded_multiply_relin(s["ctx"], s["rlk"], mesh)
+    spec = NamedSharding(mesh, P(None, "dp", None))
     out = run(jax.device_put(ca.data, spec), jax.device_put(cb.data, spec))
     ct = T.Ciphertext(data=np.asarray(out), level=s["ctx"].first_level)
     got = s["be"].decode(s["dec"].decrypt(ct))

@@ -81,6 +81,8 @@ def batched_multiply_relin(context: HeContext, relin_keys: RelinKeys,
     def run(d1, d2):
         return jitted(d1, d2, cd, key, key_cd)
 
+    run.jitted = jitted          # exposed for HLO inspection in tests
+    run.args = (cd, key, key_cd)
     return run
 
 
@@ -96,6 +98,10 @@ def limb_sharded_multiply_relin(context: HeContext, relin_keys: RelinKeys,
     have their reduction axis sharded, so GSPMD lowers them to local
     partial products + an ICI reduce (psum), exactly the hand-written
     NCCL pattern a multi-GPU port would need, derived from annotations.
+
+    The mesh must be no larger than the data-limb count (one or more
+    limbs per device); with fewer limbs than devices GSPMD degenerates to
+    replication — no communication, no scaling.
     """
     cd = context.first_context_data
     key_cd = context.key_context_data
@@ -124,6 +130,8 @@ def limb_sharded_multiply_relin(context: HeContext, relin_keys: RelinKeys,
     def run(d1, d2):
         return jitted(d1, d2, cd, key, key_cd)
 
+    run.jitted = jitted          # exposed for HLO inspection in tests
+    run.args = (cd, key, key_cd)
     return run
 
 
@@ -165,4 +173,6 @@ def coeff_sharded_multiply_relin(context: HeContext, relin_keys: RelinKeys,
     def run(d1, d2):
         return jitted(d1, d2, cd, key, key_cd)
 
+    run.jitted = jitted          # exposed for HLO inspection in tests
+    run.args = (cd, key, key_cd)
     return run

@@ -20,13 +20,48 @@ from typing import Callable, List, Optional, Sequence
 
 import numpy as np
 
-from ..context import HeContext
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..context import HeContext, ContextData
 from ..he_types import Ciphertext, Plaintext, GaloisKeys, RelinKeys
 from ..encryptor import Encryptor
 from ..decryptor import Decryptor
-from ..evaluator import Evaluator
+from ..evaluator import Evaluator, _field_trace_batch_core
 from ..encoder import BatchEncoder
+from ..ops import poly as dpoly
 from .. import serialization as ser
+
+
+@partial(jax.jit, static_argnames=("pre_shift", "mul", "pack_slots",
+                                   "ntt_domain"))
+def _pack_outputs_core(data: jnp.ndarray, srcs, keeps, keys,
+                       cd: ContextData, key_cd: ContextData,
+                       pre_shift: int, mul: int, pack_slots: int,
+                       ntt_domain: bool) -> jnp.ndarray:
+    """The whole packOutputs pipeline (LinearHelper.cuh:592-650) over ALL
+    output ciphertexts as one executable: pre-shift, divide by
+    n/pack_slots, field trace (batched key-switches), then fold each group
+    of pack_slots traces into one ciphertext with per-slot monomial
+    shifts. data (m, 2, k, n) -> (ceil(m/pack_slots), 2, k, n)."""
+    if pre_shift:
+        data = dpoly.negacyclic_shift(data, pre_shift, cd.ntt)
+    data = _field_trace_batch_core(data, srcs, keeps, keys, cd, key_cd,
+                                   mul, ntt_domain)
+    m = data.shape[0]
+    groups = ceil_div(m, pack_slots)
+    pad = groups * pack_slots - m
+    if pad:
+        data = jnp.concatenate(
+            [data, jnp.zeros((pad,) + data.shape[1:], dtype=data.dtype)])
+    grouped = data.reshape((groups, pack_slots) + data.shape[1:])
+    acc = grouped[:, 0]
+    for s in range(1, pack_slots):
+        acc = dpoly.rns_add(
+            acc, dpoly.negacyclic_shift(grouped[:, s], s, cd.ntt), cd.ntt)
+    return acc
 
 
 def ceil_div(a: int, b: int) -> int:
@@ -437,25 +472,23 @@ class MatmulHelper:
             field_trace_logn += 1
             ftn *= 2
 
-        output = []
-        current: Optional[Ciphertext] = None
-        current_slot = 0
-        for row in cipher.data:
-            for ct in row:
-                shift = pack_slots - 1
-                buf = ev.negacyclic_shift(ct, 2 * n - shift) if shift else ct
-                buf = ev.divide_by_poly_modulus_degree(buf, n // pack_slots)
-                buf = ev.field_trace(buf, auto_keys, field_trace_logn)
-                shifted = ev.negacyclic_shift(buf, current_slot) \
-                    if current_slot else buf
-                current = shifted if current is None else ev.add(current, shifted)
-                current_slot += 1
-                if current_slot == pack_slots:
-                    current_slot = 0
-                    output.append(current)
-                    current = None
-        if current is not None:
-            output.append(current)
+        flat = [ct for row in cipher.data for ct in row]
+        ntt_domain = flat[0].is_ntt_form
+        if ntt_domain and pack_slots > 1:
+            raise ValueError("negacyclic shift expects coefficient form")
+        srcs, keeps, keys = ev._field_trace_steps(auto_keys,
+                                                  field_trace_logn,
+                                                  ntt_domain)
+        cd = ev.context.get_context_data(flat[0].level)
+        stacked = jnp.stack([ct.data for ct in flat])
+        pre_shift = (2 * n - (pack_slots - 1)) if pack_slots > 1 else 0
+        packed = _pack_outputs_core(stacked, srcs, keeps, keys, cd,
+                                    ev.context.key_context_data,
+                                    pre_shift, n // pack_slots, pack_slots,
+                                    ntt_domain)
+        template = flat[0]
+        output = [template.replace(data=packed[g], seed=0)
+                  for g in range(packed.shape[0])]
         return Cipher2d([output])
 
     # ---- serialization (LinearHelper.cuh:686-750) ----

@@ -294,6 +294,84 @@ def _apply_galois_coeff_core(data: jnp.ndarray, src: jnp.ndarray,
     return jnp.stack([c0, delta[1]])
 
 
+def _batched_galois_fold(data: jnp.ndarray, src: jnp.ndarray,
+                         keep: jnp.ndarray, key: jnp.ndarray,
+                         cd: ContextData, key_cd: ContextData,
+                         ntt_domain: bool) -> jnp.ndarray:
+    """Same Galois automorphism + key switch over a BATCH of size-2
+    ciphertexts: data (m, 2, k, n) -> (m, 2, k, n). The reference applies
+    these one ciphertext at a time (evaluator_cuda.cu:2024); here the m
+    key-switch contractions run as one vmapped executable."""
+    if ntt_domain:
+        c0 = _apply_permutation(data[:, 0], src)
+        c1 = _apply_permutation(data[:, 1], src)
+    else:
+        c0 = _apply_permutation_signed(data[:, 0], src, keep, cd)
+        c1 = _apply_permutation_signed(data[:, 1], src, keep, cd)
+    delta = jax.vmap(
+        lambda t: _switch_key_core(t, key, cd, key_cd, ntt_domain))(c1)
+    out0 = dpoly.rns_add(c0, delta[:, 0], cd.ntt)
+    return jnp.stack([out0, delta[:, 1]], axis=1)
+
+
+@partial(jax.jit, static_argnames=("shift", "ntt_domain"))
+def _pack_tree_layer_core(cur: jnp.ndarray, src: jnp.ndarray,
+                          keep: jnp.ndarray, key: jnp.ndarray,
+                          cd: ContextData, key_cd: ContextData,
+                          shift: int, ntt_domain: bool) -> jnp.ndarray:
+    """One layer of the LWE packing tree (evaluator_cuda.cu:2278-2341),
+    batched over every (even, odd) pair: cur (2m, 2, k, n) coefficient
+    domain -> (m, 2, k, n). even + odd*x^shift + phi(even - odd*x^shift)
+    with all m Galois key-switches fused into one dispatch."""
+    even, odd = cur[0::2], cur[1::2]
+    temp = dpoly.negacyclic_shift(odd, shift, cd.ntt)
+    folded = dpoly.rns_sub(even, temp, cd.ntt)
+    even = dpoly.rns_add(even, temp, cd.ntt)
+    if ntt_domain:
+        folded = dntt.rns_ntt_forward(folded, cd.ntt)
+    rotated = _batched_galois_fold(folded, src, keep, key, cd, key_cd,
+                                   ntt_domain)
+    if ntt_domain:
+        rotated = dntt.rns_ntt_inverse(rotated, cd.ntt)
+    return dpoly.rns_add(even, rotated, cd.ntt)
+
+
+@partial(jax.jit, static_argnames=("mul", "ntt_domain"))
+def _field_trace_batch_core(data: jnp.ndarray,
+                            srcs: Tuple[jnp.ndarray, ...],
+                            keeps: Tuple[jnp.ndarray, ...],
+                            keys: Tuple[jnp.ndarray, ...],
+                            cd: ContextData, key_cd: ContextData,
+                            mul: int, ntt_domain: bool) -> jnp.ndarray:
+    """Field trace over a batch (evaluator_cuda.cu:2251-2261): the full
+    sequence of fold-with-automorphism steps as ONE executable. data
+    (m, 2, k, n); srcs/keeps/keys are the per-step permutation tables and
+    Galois keys, outermost element first. `mul` scales by n^{-1}*mul
+    beforehand (divideByPolyModulusDegreeInplace fused in; 0 = skip)."""
+    if mul:
+        scalars = [numth.invert_mod(cd.n, q) * mul % q
+                   for q in cd.coeff_values]
+        data = dpoly.rns_scalar_mul(data, scalars, cd.ntt)
+    for src, keep, key in zip(srcs, keeps, keys):
+        rotated = _batched_galois_fold(data, src, keep, key, cd, key_cd,
+                                       ntt_domain)
+        data = dpoly.rns_add(data, rotated, cd.ntt)
+    return data
+
+
+@jax.jit
+def _pack_assemble_core(c1s: jnp.ndarray, c0s: jnp.ndarray,
+                        cd: ContextData) -> jnp.ndarray:
+    """Batched assembleLWE at term 0 + divide by n
+    (evaluator_cuda.cu:2185-2207, :2266-2276): c1s (m, k, n), c0s (m, k)
+    -> (m, 2, k, n) coefficient-domain ciphertexts."""
+    m, k, n = c1s.shape
+    d0 = jnp.zeros((m, k, n), dtype=U64).at[:, :, 0].set(c0s)
+    data = jnp.stack([d0, c1s], axis=1)
+    inv_n = [numth.invert_mod(n, q) for q in cd.coeff_values]
+    return dpoly.rns_scalar_mul(data, inv_n, cd.ntt)
+
+
 @jax.jit
 def _bfv_mod_switch_scale(data: jnp.ndarray, cd: ContextData) -> jnp.ndarray:
     outs = [drns.divide_and_round_q_last(data[i], cd.rns_tool)
@@ -825,19 +903,45 @@ class Evaluator:
         return ct.replace(data=dpoly.rns_scalar_mul(ct.data, scalars, cd.ntt),
                           seed=0)
 
+    def _field_trace_steps(self, automorphism_keys: GaloisKeys, logn: int,
+                           ntt_domain: bool):
+        """Per-step (src, keep, key) tables for the trace automorphisms
+        x -> x^(m/2^i + 1), outermost first."""
+        n = self.context.n
+        srcs, keeps, keys = [], [], []
+        poly_degree = n
+        while poly_degree > (1 << logn):
+            elt = poly_degree + 1
+            if not automorphism_keys.has_key(elt):
+                raise ValueError(f"Galois key for element {elt} not present")
+            if ntt_domain:
+                src = galois_util.ntt_permutation_dev(n, elt)
+                keep = src
+            else:
+                src, keep = galois_util.coeff_permutation_dev(n, elt)
+            srcs.append(src)
+            keeps.append(keep)
+            keys.append(automorphism_keys.keys[elt])
+            poly_degree >>= 1
+        return tuple(srcs), tuple(keeps), tuple(keys)
+
     def field_trace(self, ct: Ciphertext, automorphism_keys: GaloisKeys,
                     logn: int = 0) -> Ciphertext:
         """Trace down to the subfield of degree 2^logn: repeatedly fold with
         the automorphism x -> x^(m/2^i + 1) (evaluator_cuda.cu:2251-2261).
         Annihilates all coefficients except multiples of n/2^logn, scaling
-        the survivors by n/2^logn."""
-        poly_degree = self.context.n
-        while poly_degree > (1 << logn):
-            elt = poly_degree + 1
-            rotated = self.apply_galois(ct, elt, automorphism_keys)
-            ct = self.add(ct, rotated)
-            poly_degree >>= 1
-        return ct
+        the survivors by n/2^logn. All fold steps run as one executable."""
+        if ct.size != 2:
+            raise ValueError("field_trace expects size-2 ciphertexts")
+        srcs, keeps, keys = self._field_trace_steps(
+            automorphism_keys, logn, ct.is_ntt_form)
+        if not srcs:
+            return ct
+        cd = self._cd(ct)
+        data = _field_trace_batch_core(
+            ct.data[None], srcs, keeps, keys, cd,
+            self.context.key_context_data, 0, ct.is_ntt_form)[0]
+        return ct.replace(data=data, seed=0)
 
     def pack_lwe_ciphertexts(self, lwes: Sequence[LWECiphertext],
                              automorphism_keys: GaloisKeys) -> Ciphertext:
@@ -850,44 +954,42 @@ class Evaluator:
         if count > n:
             raise ValueError("too many LWE ciphertexts")
         cd = self.context.get_context_data(lwes[0].level)
+        key_cd = self.context.key_context_data
         is_ckks = cd.scheme == SchemeType.ckks
         l = 0
         while (1 << l) < count:
             l += 1
 
-        zero = self.assemble_lwe(lwes[0], 0)
-        zero = zero.replace(data=jnp.zeros_like(zero.data))
-        rlwes: List[Ciphertext] = []
+        # Batched assembly: pad to 2^l with zero samples, bit-reversed order.
+        zero_c1 = jnp.zeros_like(lwes[0].c1)
+        zero_c0 = jnp.zeros_like(lwes[0].c0)
+        c1s, c0s = [], []
         for i in range(1 << l):
             index = numth.reverse_bits(i, l)
-            if index < count:
-                rlwes.append(self.divide_by_poly_modulus_degree(
-                    self.assemble_lwe(lwes[index], 0)))
-            else:
-                rlwes.append(zero)
+            src = lwes[index] if index < count else None
+            c1s.append(src.c1 if src is not None else zero_c1)
+            c0s.append(src.c0 if src is not None else zero_c0)
+        cur = _pack_assemble_core(jnp.stack(c1s), jnp.stack(c0s), cd)
 
+        # Tree fold: one batched dispatch per layer instead of one
+        # key-switch per pair (evaluator_cuda.cu:2278-2341).
         for layer in range(l):
-            gap = 1 << layer
-            shift = n >> (layer + 1)
-            offset = 0
-            while offset < (1 << l):
-                even = rlwes[offset]
-                odd = rlwes[offset + gap]
-                temp = even.replace(
-                    data=dpoly.negacyclic_shift(odd.data, shift, cd.ntt))
-                odd = self.sub(even, temp)
-                even = self.add(even, temp)
-                if is_ckks:
-                    odd = self.transform_to_ntt(odd)
-                odd = self.apply_galois(odd, (1 << (layer + 1)) + 1,
-                                        automorphism_keys)
-                if is_ckks:
-                    odd = self.transform_from_ntt(odd)
-                even = self.add(even, odd)
-                rlwes[offset] = even
-                offset += gap * 2
+            elt = (1 << (layer + 1)) + 1
+            if not automorphism_keys.has_key(elt):
+                raise ValueError(f"Galois key for element {elt} not present")
+            if is_ckks:
+                src = galois_util.ntt_permutation_dev(n, elt)
+                keep = src
+            else:
+                src, keep = galois_util.coeff_permutation_dev(n, elt)
+            cur = _pack_tree_layer_core(cur, src, keep,
+                                        automorphism_keys.keys[elt],
+                                        cd, key_cd, n >> (layer + 1), is_ckks)
 
-        ret = rlwes[0]
+        template = lwes[0]
+        ret = Ciphertext(data=cur[0], level=template.level,
+                         is_ntt_form=False, scale=template.scale,
+                         correction_factor=template.correction_factor)
         if is_ckks:
             ret = self.transform_to_ntt(ret)
         return self.field_trace(ret, automorphism_keys, l)

@@ -16,7 +16,7 @@ Two table flavors:
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Optional, Sequence, Tuple
 
 import numpy as np
@@ -35,6 +35,17 @@ U64 = jnp.uint64
 # Overridable for experiments/dry runs via TROY_TPU_MXU_MIN_N.
 import os as _os
 MXU_MIN_N = int(_os.environ.get("TROY_TPU_MXU_MIN_N", "2048"))
+
+
+@lru_cache(maxsize=None)
+def _limb_root_tables_dev(n: int, q: int):
+    """Device copies of one modulus's root-power tables, cached per (n, q):
+    chain levels share primes, so each prime's tables upload exactly once
+    (the reference re-uploads per ContextDataCuda — context_cuda.cu)."""
+    h = make_ntt_tables(n, q)
+    return (jnp.asarray(h.root_powers), jnp.asarray(h.root_powers_shoup),
+            jnp.asarray(h.inv_root_powers),
+            jnp.asarray(h.inv_root_powers_shoup))
 
 
 class NttTables(struct.PyTreeNode):
@@ -56,12 +67,13 @@ class NttTables(struct.PyTreeNode):
     def from_host(cls, h: NttTablesHost) -> "NttTables":
         mxu = ntt_mxu.make_mxu_tables(h.n, h.modulus) \
             if h.n >= MXU_MIN_N else None
+        rp, rps, irp, irps = _limb_root_tables_dev(h.n, h.modulus)
         return cls(
             mxu=mxu,
-            root_powers=jnp.asarray(h.root_powers),
-            root_powers_shoup=jnp.asarray(h.root_powers_shoup),
-            inv_root_powers=jnp.asarray(h.inv_root_powers),
-            inv_root_powers_shoup=jnp.asarray(h.inv_root_powers_shoup),
+            root_powers=rp,
+            root_powers_shoup=rps,
+            inv_root_powers=irp,
+            inv_root_powers_shoup=irps,
             n=h.n,
             log_n=h.log_n,
             modulus=h.modulus,
@@ -103,15 +115,13 @@ class RnsNttTables(struct.PyTreeNode):
             if use_mxu else None
         as_u64 = lambda vals: jnp.asarray(
             np.array([v & 0xFFFFFFFFFFFFFFFF for v in vals], dtype=np.uint64))
+        devs = [_limb_root_tables_dev(n, int(q)) for q in moduli]
         return cls(
             mxu=mxu,
-            root_powers=jnp.stack([jnp.asarray(h.root_powers) for h in hosts]),
-            root_powers_shoup=jnp.stack(
-                [jnp.asarray(h.root_powers_shoup) for h in hosts]),
-            inv_root_powers=jnp.stack(
-                [jnp.asarray(h.inv_root_powers) for h in hosts]),
-            inv_root_powers_shoup=jnp.stack(
-                [jnp.asarray(h.inv_root_powers_shoup) for h in hosts]),
+            root_powers=jnp.stack([d[0] for d in devs]),
+            root_powers_shoup=jnp.stack([d[1] for d in devs]),
+            inv_root_powers=jnp.stack([d[2] for d in devs]),
+            inv_root_powers_shoup=jnp.stack([d[3] for d in devs]),
             q=as_u64([h.modulus for h in hosts]),
             cr_hi=as_u64([h.const_ratio[1] for h in hosts]),
             cr_lo=as_u64([h.const_ratio[0] for h in hosts]),

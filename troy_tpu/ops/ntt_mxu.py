@@ -95,33 +95,46 @@ def make_mxu_tables_host(n: int, q: int):
     brv_a = [numth.reverse_bits(i, log_a) for i in range(A)]
     brv_b = [numth.reverse_bits(i, log_b) for i in range(B)]
 
+    def pow_table(base: int, count: int):
+        t = [1] * count
+        for i in range(1, count):
+            t[i] = t[i - 1] * base % q
+        return t
+
+    om = pow_table(omega, n)          # omega^j, j mod n
+    iom = pow_table(inv_omega, n)
+    ps = pow_table(psi, 2 * n)        # psi^j, j mod 2n
+    ips = pow_table(inv_psi, 2 * n)
+
     # forward: out[p1, p2] = sum_b [sum_a c[a,b] W1[p1,a]] Tw[p1,b] W2[b,p2]
     #   W1[p1, a] = omega^(B*a*brv_a[p1]) * psi^(a*B)
     #   Tw[p1, b] = psi^b * omega^(b*brv_a[p1])
     #   W2[b, p2] = omega^(A*b*brv_b[p2])
-    w1 = np.array([[pow(omega, (B * a * brv_a[p]) % n, q) * pow(psi, a * B, q) % q
-                    for a in range(A)] for p in range(A)], dtype=object)
-    tw = np.array([[pow(psi, b, q) * pow(omega, (b * brv_a[p]) % n, q) % q
-                    for b in range(B)] for p in range(A)], dtype=object)
-    w2 = np.array([[pow(omega, (A * b * brv_b[p]) % n, q)
-                    for p in range(B)] for b in range(B)], dtype=object)
+    w1 = np.array([[om[B * a * r % n] * ps[a * B % (2 * n)] % q
+                    for a in range(A)] for r in brv_a], dtype=object)
+    tw = np.array([[ps[b] * om[b * r % n] % q
+                    for b in range(B)] for r in brv_a], dtype=object)
+    w2 = np.array([[om[A * b * r % n] for r in brv_b]
+                   for b in range(B)], dtype=object)
 
     # inverse of out = ((W1 C) . Tw) W2:
     #   Y = (OUT @ V2) / Tw ; C = V1 @ Y
     #   V2[p2, b] = (1/B) omega^(-A*b*brv_b[p2])
     #   iTw[p1, b] = psi^(-b) omega^(-b*brv_a[p1])
     #   V1[a, p1] = (1/A) omega^(-B*a*brv_a[p1]) psi^(-a*B)
-    v2 = np.array([[inv_b * pow(inv_omega, (A * b * brv_b[p]) % n, q) % q
-                    for b in range(B)] for p in range(B)], dtype=object)
-    itw = np.array([[pow(inv_psi, b, q) * pow(inv_omega, (b * brv_a[p]) % n, q) % q
-                     for b in range(B)] for p in range(A)], dtype=object)
-    v1 = np.array([[inv_a * pow(inv_omega, (B * a * brv_a[p]) % n, q) % q
-                    * pow(inv_psi, (a * B) % (2 * n), q) % q
-                    for p in range(A)] for a in range(A)], dtype=object)
+    v2 = np.array([[inv_b * iom[A * b * r % n] % q
+                    for b in range(B)] for r in brv_b], dtype=object)
+    itw = np.array([[ips[b] * iom[b * r % n] % q
+                     for b in range(B)] for r in brv_a], dtype=object)
+    v1 = np.array([[inv_a * iom[B * a * r % n] % q * ips[a * B % (2 * n)] % q
+                    for r in brv_a] for a in range(A)], dtype=object)
     return A, B, w1, tw, w2, v1, itw, v2
 
 
+@lru_cache(maxsize=None)
 def make_mxu_tables(n: int, q: int) -> MxuNttTables:
+    """Cached per (n, q): chain levels share primes, so the digit planes
+    and twiddles convert + upload exactly once per prime."""
     A, B, w1, tw, w2, v1, itw, v2 = make_mxu_tables_host(n, q)
     shoup = np.vectorize(lambda w: (int(w) << 64) // q, otypes=[object])
     as_u64 = lambda m: jnp.asarray(

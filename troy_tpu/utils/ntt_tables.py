@@ -55,13 +55,17 @@ def make_ntt_tables(n: int, modulus: int) -> NttTablesHost:
     root = numth.minimal_primitive_root(2 * n, q)
     inv_root = numth.invert_mod(root, q)
 
-    # powers of root, scattered to bit-reversed positions
+    # powers of root, scattered to bit-reversed positions; inverses by
+    # powering inv_root (one inversion total, not n)
     powers = [0] * n
-    acc = 1
+    inv_powers = [0] * n
+    acc = inv_acc = 1
     for k in range(n):
-        powers[numth.reverse_bits(k, log_n)] = acc
+        b = numth.reverse_bits(k, log_n)
+        powers[b] = acc
+        inv_powers[b] = inv_acc
         acc = (acc * root) % q
-    inv_powers = [numth.invert_mod(p, q) for p in powers]
+        inv_acc = (inv_acc * inv_root) % q
 
     shoup = lambda w: (w << 64) // q
     inv_degree = numth.invert_mod(n, q)

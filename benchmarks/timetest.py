@@ -118,12 +118,13 @@ def main():
     # ---- phase 2: host-boundary ops (poison the harness; timed last) ----
     timeit("Encrypt (symmetric)", lambda: enc.encrypt_symmetric(pt), reps=10)
     timeit("Decrypt", lambda: dec.decrypt(ct1), reps=10)
+    pt_dec = dec.decrypt(ct1)
     if scheme == T.SchemeType.ckks:
         timeit("Encode", lambda: encd.encode(vals, scale=scale), reps=10)
-        timeit("Decode", lambda: encd.decode(dec.decrypt(ct1)), reps=10)
+        timeit("Decode", lambda: encd.decode(pt_dec), reps=10)
     else:
         timeit("Encode", lambda: encd.encode(vals), reps=10)
-        timeit("Decode", lambda: encd.decode(dec.decrypt(ct1)), reps=10)
+        timeit("Decode", lambda: encd.decode(pt_dec), reps=10)
 
 
 if __name__ == "__main__":

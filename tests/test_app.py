@@ -166,3 +166,51 @@ def test_key_serialization_roundtrip(bfv):
     packed = ev.pack_lwe_ciphertexts(lwes, keys2)
     out = be.decode_polynomial(dec.decrypt(packed))
     assert int(out[0]) == 0
+
+
+def test_matmul_reverse_encrypted_weights(bfv):
+    """objective=1: weights encrypted, inputs plain (LinearHelper.cuh:429
+    matmul_reverse path)."""
+    ctx, enc, dec, ev, be, auto_keys = bfv
+    t = int(ctx.first_context_data.plain_modulus)
+    B, I, O = 3, 5, 4
+    rng = np.random.default_rng(11)
+    x = rng.integers(0, t, size=(B, I), dtype=np.uint64)
+    w = rng.integers(0, t, size=(I, O), dtype=np.uint64)
+    helper = MatmulHelper(B, I, O, N, objective=1, pack_lwe=False)
+    w_ct = helper.encode_weights(be.encode_polynomial, w) \
+        .encrypt_symmetric(enc)
+    x_pt = helper.encode_inputs(be.encode_polynomial, x)
+    y_ct = helper.matmul_reverse(ev, x_pt, w_ct)
+    y = helper.decrypt_outputs(be.decode_polynomial, dec, y_ct)
+    np.testing.assert_array_equal(
+        y.astype(object) % t, (x.astype(object) @ w.astype(object)) % t)
+
+
+def test_conv2d_cipher_weights(bfv):
+    """ct x ct convolution (Conv2dHelper::conv2d cipher path)."""
+    ctx, enc, dec, ev, be, auto_keys = bfv
+    t = int(ctx.first_context_data.plain_modulus)
+    B, H, W, KH, KW, CI, CO = 1, 4, 4, 2, 2, 2, 2
+    rng = np.random.default_rng(13)
+    x = rng.integers(0, 16, size=(B, CI, H, W), dtype=np.uint64)
+    w = rng.integers(0, 16, size=(CO, CI, KH, KW), dtype=np.uint64)
+    helper = Conv2dHelper(B, H, W, KH, KW, CI, CO, N, objective=0)
+    w_ct = helper.encode_weights(be.encode_polynomial, w) \
+        .encrypt_symmetric(enc)
+    x_ct = helper.encode_inputs(be.encode_polynomial, x) \
+        .encrypt_symmetric(enc)
+    y_ct = helper.conv2d_cipher(ev, x_ct, w_ct)
+    y = helper.decrypt_outputs(be.decode_polynomial, dec, y_ct)
+    oh, ow = H - KH + 1, W - KW + 1
+    expect = np.zeros((B, CO, oh, ow), dtype=object)
+    for b in range(B):
+        for co in range(CO):
+            for i in range(oh):
+                for j in range(ow):
+                    acc = 0
+                    for ci in range(CI):
+                        acc += int((x[b, ci, i:i + KH, j:j + KW].astype(object)
+                                    * w[co, ci].astype(object)).sum())
+                    expect[b, co, i, j] = acc % t
+    np.testing.assert_array_equal(y.astype(object) % t, expect)

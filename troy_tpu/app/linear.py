@@ -29,10 +29,61 @@ from ..context import HeContext, ContextData
 from ..he_types import Ciphertext, Plaintext, GaloisKeys, RelinKeys
 from ..encryptor import Encryptor
 from ..decryptor import Decryptor
-from ..evaluator import Evaluator, _field_trace_batch_core
+from ..evaluator import Evaluator, _field_trace_batch_core, _plain_to_ntt
 from ..encoder import BatchEncoder
+from ..ops import ntt as dntt
 from ..ops import poly as dpoly
 from .. import serialization as ser
+
+
+@partial(jax.jit, static_argnames=("ct_coeff", "pt_mod_t"))
+def _matmul_tiles_core(ct_tiles: jnp.ndarray, pt_tiles: jnp.ndarray,
+                       cd: ContextData, ct_coeff: bool,
+                       pt_mod_t: bool) -> jnp.ndarray:
+    """The whole tile fan-out of the coefficient-packed matmul/conv as ONE
+    executable: out[x, y] = sum_i ct[x, i] (*) pt[i, y], where (*) is the
+    multiply_plain dyadic product in the NTT domain (the reference loops
+    multiplyPlain+add per tile: LinearHelper.cuh:403-427).
+
+    ct_tiles (X, I, 2, k, n); pt_tiles (I, Y, n) mod-t when pt_mod_t else
+    (I, Y, k, n) NTT mod-q. ct_coeff: cts arrive (and leave) in
+    coefficient form (BFV); otherwise they are NTT-form (CKKS/BGV)."""
+    ct_ntt = dntt.rns_ntt_forward(ct_tiles, cd.ntt) if ct_coeff else ct_tiles
+    w_ntt = _plain_to_ntt.__wrapped__(pt_tiles, cd) if pt_mod_t else pt_tiles
+    acc = None
+    for i in range(ct_tiles.shape[1]):
+        a_i = ct_ntt[:, i][:, None]          # (X, 1, 2, k, n)
+        w_i = w_ntt[i][:, None]              # (Y, 1, k, n) -> bcast (X,Y,2,..)
+        prod = dntt.rns_dyadic_mul(a_i, w_i, cd.ntt)
+        acc = prod if acc is None else dpoly.rns_add(acc, prod, cd.ntt)
+    return dntt.rns_ntt_inverse(acc, cd.ntt) if ct_coeff else acc
+
+
+def _run_tile_contraction(ev: Evaluator, ct2d: "Cipher2d", pt2d: "Plain2d",
+                          transpose_ct: bool, transpose_pt: bool,
+                          transpose_out: bool) -> "Cipher2d":
+    """Stack a Cipher2d x Plain2d tile grid, contract on device, unpack."""
+    template = ct2d.data[0][0]
+    cd = ev.context.get_context_data(template.level)
+    ct_tiles = jnp.stack([jnp.stack([ct.data for ct in row])
+                          for row in ct2d.data])
+    if transpose_ct:
+        ct_tiles = jnp.swapaxes(ct_tiles, 0, 1)
+    pt_tiles = jnp.stack([jnp.stack([p.data for p in row])
+                          for row in pt2d.data])
+    if transpose_pt:
+        pt_tiles = jnp.swapaxes(pt_tiles, 0, 1)
+    pt0 = pt2d.data[0][0]
+    if pt0.is_ntt_form and pt0.level != template.level:
+        raise ValueError("NTT-form plaintext level mismatch")
+    out = _matmul_tiles_core(ct_tiles, pt_tiles, cd,
+                             not template.is_ntt_form, not pt0.is_ntt_form)
+    if transpose_out:
+        out = jnp.swapaxes(out, 0, 1)
+    scale = template.scale * pt0.scale if pt0.is_ntt_form else template.scale
+    return Cipher2d([[template.replace(data=out[x, y], scale=scale, seed=0)
+                      for y in range(out.shape[1])]
+                     for x in range(out.shape[0])])
 
 
 @partial(jax.jit, static_argnames=("pre_shift", "mul", "pack_slots",
@@ -297,16 +348,10 @@ class MatmulHelper:
 
     # ---- the matmul itself (LinearHelper.cuh:403-479) ----
     def matmul(self, ev: Evaluator, a: Cipher2d, w: Plain2d) -> Cipher2d:
-        out_blocks = ceil_div(self.output_dims, self.output_block)
-        ret = []
-        for b in range(ceil_div(self.batch_size, self.batch_block)):
-            outs: List[Optional[Ciphertext]] = [None] * out_blocks
-            for i in range(len(w.data)):
-                for j in range(len(w.data[i])):
-                    prod = ev.multiply_plain(a[b][i], w[i][j])
-                    outs[j] = prod if outs[j] is None else ev.add(outs[j], prod)
-            ret.append(outs)
-        return Cipher2d(ret)
+        """out[b, j] = sum_i a[b, i] (*) w[i, j], all tiles in one fused
+        contraction (LinearHelper.cuh:403-427)."""
+        return _run_tile_contraction(ev, a, w, transpose_ct=False,
+                                     transpose_pt=False, transpose_out=False)
 
     def matmul_cipher(self, ev: Evaluator, a: Cipher2d,
                       w: Cipher2d) -> Cipher2d:
@@ -323,16 +368,11 @@ class MatmulHelper:
 
     def matmul_reverse(self, ev: Evaluator, a: Plain2d,
                        w: Cipher2d) -> Cipher2d:
-        out_blocks = ceil_div(self.output_dims, self.output_block)
-        ret = []
-        for b in range(ceil_div(self.batch_size, self.batch_block)):
-            outs: List[Optional[Ciphertext]] = [None] * out_blocks
-            for i in range(len(w.data)):
-                for j in range(len(w.data[i])):
-                    prod = ev.multiply_plain(w[i][j], a[b][i])
-                    outs[j] = prod if outs[j] is None else ev.add(outs[j], prod)
-            ret.append(outs)
-        return Cipher2d(ret)
+        """Encrypted weights, plain inputs: out[b, j] = sum_i w[i, j] (*)
+        a[b, i] — the same contraction with the ciphertext grid transposed
+        to (j, i) and the output transposed back."""
+        return _run_tile_contraction(ev, w, a, transpose_ct=True,
+                                     transpose_pt=True, transpose_out=True)
 
     # ---- output positions ----
     def _output_positions(self):
@@ -684,19 +724,11 @@ class Conv2dHelper:
                                   inputs).encrypt_symmetric(encryptor)
 
     def conv2d(self, ev: Evaluator, a: Cipher2d, w: Plain2d) -> Cipher2d:
-        total = self.total_batch_size()
-        groups = ceil_div(self.output_channels, self.block_out_channels)
-        ret = []
-        for b in range(total):
-            row = []
-            for oc in range(groups):
-                acc = None
-                for i in range(len(a[b])):
-                    prod = ev.multiply_plain(a[b][i], w[oc][i])
-                    acc = prod if acc is None else ev.add(acc, prod)
-                row.append(acc)
-            ret.append(row)
-        return Cipher2d(ret)
+        """out[b, oc] = sum_i a[b, i] (*) w[oc, i]: one fused contraction
+        over all (batch x out-channel-group x in-channel) tiles
+        (LinearHelper.cuh Conv2dHelper::conv2d)."""
+        return _run_tile_contraction(ev, a, w, transpose_ct=False,
+                                     transpose_pt=True, transpose_out=False)
 
     def conv2d_cipher(self, ev: Evaluator, a: Cipher2d,
                       w: Cipher2d) -> Cipher2d:

@@ -76,6 +76,15 @@ def main():
                    lambda: helper.pack_outputs(ev, auto_keys, y_ct))
     packed = phase("pack outputs (warm)",
                    lambda: helper.pack_outputs(ev, auto_keys, y_ct2))
+    # ct x ct variant (the reference main's testMatmulCipherInts config,
+    # test/app/linear.cu:575-584)
+    w_ct = phase("encrypt weights (ct x ct)",
+                 lambda: helper.encode_weights(be.encode_polynomial, w)
+                 .encrypt_symmetric(enc))
+    yc = phase("matmul ct x ct", lambda: helper.matmul_cipher(ev, x_ct, w_ct))
+    yc = phase("matmul ct x ct (warm)",
+               lambda: helper.matmul_cipher(ev, x_ct, w_ct))
+
     blob = phase("serialize outputs",
                  lambda: helper.serialize_outputs(ev, ctx, packed))
     print(f"  {'output bytes':24s} {len(blob):10d}", flush=True)

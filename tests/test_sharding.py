@@ -146,3 +146,30 @@ def test_limb_sharded(setup):
     ct = T.Ciphertext(data=np.asarray(out), level=s["ctx"].first_level)
     got = s["be"].decode(s["dec"].decrypt(ct))
     assert np.array_equal(got, ((a + 5) * (a + 9)) % s["t"])
+
+
+def test_dp_limb_2d_mesh(setup):
+    """Combined DP x limb regime on a (4, 2) mesh: batches over dp, each
+    ciphertext's 2 data limbs over tp; must decrypt bit-exactly."""
+    s = setup
+    a = np.arange(N, dtype=np.uint64)
+    mesh2d = par.make_mesh_2d(4, 2)
+    cts1 = [s["enc"].encrypt_symmetric(s["be"].encode(a + i)).data
+            for i in range(4)]
+    cts2 = [s["enc"].encrypt_symmetric(s["be"].encode(a * 3 + i)).data
+            for i in range(4)]
+    spec = NamedSharding(mesh2d, P("dp", None, "tp", None))
+    d1 = jax.device_put(jnp.stack(cts1), spec)
+    d2 = jax.device_put(jnp.stack(cts2), spec)
+    run = par.dp_limb_sharded_multiply_relin(s["ctx"], s["rlk"], mesh2d)
+    out = run(d1, d2)
+    for i in range(4):
+        ct = T.Ciphertext(data=np.asarray(out[i]),
+                          level=s["ctx"].first_level)
+        got = s["be"].decode(s["dec"].decrypt(ct))
+        assert np.array_equal(got, ((a + i) * (a * 3 + i)) % s["t"])
+    # the tp reduction must communicate within a dp group
+    import re
+    hlo = run.jitted.lower(d1, d2, *run.args).compile().as_text()
+    assert re.search("all-reduce|all-to-all|collective-permute|all-gather",
+                     hlo)

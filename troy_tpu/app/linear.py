@@ -29,10 +29,12 @@ from ..context import HeContext, ContextData
 from ..he_types import Ciphertext, Plaintext, GaloisKeys, RelinKeys
 from ..encryptor import Encryptor
 from ..decryptor import Decryptor
-from ..evaluator import Evaluator, _field_trace_batch_core, _plain_to_ntt
+from ..evaluator import (Evaluator, _bfv_multiply, _field_trace_batch_core,
+                         _ntt_form_multiply, _plain_to_ntt)
 from ..encoder import BatchEncoder
 from ..ops import ntt as dntt
 from ..ops import poly as dpoly
+from ..params import SchemeType
 from .. import serialization as ser
 
 
@@ -57,6 +59,51 @@ def _matmul_tiles_core(ct_tiles: jnp.ndarray, pt_tiles: jnp.ndarray,
         prod = dntt.rns_dyadic_mul(a_i, w_i, cd.ntt)
         acc = prod if acc is None else dpoly.rns_add(acc, prod, cd.ntt)
     return dntt.rns_ntt_inverse(acc, cd.ntt) if ct_coeff else acc
+
+
+@jax.jit
+def _matmul_cipher_tiles_core(a_tiles: jnp.ndarray, w_tiles: jnp.ndarray,
+                              cd: ContextData) -> jnp.ndarray:
+    """ct x ct tile contraction: out[x, y] = sum_i mult(a[x, i], w[i, y])
+    (size 2 x 2 -> 3), one executable. The nested vmap broadcasts share
+    each tile's expensive BEHZ lift across the whole row/column while the
+    per-product t/Q floor keeps the reference's rounding order
+    (evaluator_cuda.cu:283-382 per product, then addInplace)."""
+    if cd.scheme == SchemeType.bfv:
+        mul = lambda da, dw: _bfv_multiply.__wrapped__(da, dw, cd)
+    else:
+        mul = lambda da, dw: _ntt_form_multiply.__wrapped__(da, dw, cd)
+    acc = None
+    for i in range(a_tiles.shape[1]):
+        prod = jax.vmap(jax.vmap(mul, in_axes=(None, 0)),
+                        in_axes=(0, None))(a_tiles[:, i], w_tiles[i])
+        acc = prod if acc is None else dpoly.rns_add(acc, prod, cd.ntt)
+    return acc
+
+
+def _run_cipher_contraction(ev: Evaluator, a2d: "Cipher2d", w2d: "Cipher2d",
+                            transpose_w: bool) -> "Cipher2d":
+    """Stack two Cipher2d tile grids and contract ct x ct on device."""
+    template = a2d.data[0][0]
+    w0 = w2d.data[0][0]
+    if w0.level != template.level:
+        raise ValueError("ciphertext level mismatch")
+    cd = ev.context.get_context_data(template.level)
+    a_tiles = jnp.stack([jnp.stack([ct.data for ct in row])
+                         for row in a2d.data])
+    w_tiles = jnp.stack([jnp.stack([ct.data for ct in row])
+                         for row in w2d.data])
+    if transpose_w:
+        w_tiles = jnp.swapaxes(w_tiles, 0, 1)
+    out = _matmul_cipher_tiles_core(a_tiles, w_tiles, cd)
+    scale = template.scale * w0.scale \
+        if cd.scheme == SchemeType.ckks else template.scale
+    corr = template.correction_factor * w0.correction_factor \
+        % int(cd.plain_modulus) if cd.scheme == SchemeType.bgv else 1
+    return Cipher2d([[template.replace(data=out[x, y], scale=scale,
+                                       correction_factor=corr, seed=0)
+                      for y in range(out.shape[1])]
+                     for x in range(out.shape[0])])
 
 
 def _run_tile_contraction(ev: Evaluator, ct2d: "Cipher2d", pt2d: "Plain2d",
@@ -355,16 +402,9 @@ class MatmulHelper:
 
     def matmul_cipher(self, ev: Evaluator, a: Cipher2d,
                       w: Cipher2d) -> Cipher2d:
-        out_blocks = ceil_div(self.output_dims, self.output_block)
-        ret = []
-        for b in range(ceil_div(self.batch_size, self.batch_block)):
-            outs: List[Optional[Ciphertext]] = [None] * out_blocks
-            for i in range(len(w.data)):
-                for j in range(len(w.data[i])):
-                    prod = ev.multiply(a[b][i], w[i][j])
-                    outs[j] = prod if outs[j] is None else ev.add(outs[j], prod)
-            ret.append(outs)
-        return Cipher2d(ret)
+        """ct x ct matmul (LinearHelper.cuh:429): one fused contraction,
+        outputs size-3 (relinearize afterwards if needed)."""
+        return _run_cipher_contraction(ev, a, w, transpose_w=False)
 
     def matmul_reverse(self, ev: Evaluator, a: Plain2d,
                        w: Cipher2d) -> Cipher2d:
@@ -732,19 +772,9 @@ class Conv2dHelper:
 
     def conv2d_cipher(self, ev: Evaluator, a: Cipher2d,
                       w: Cipher2d) -> Cipher2d:
-        total = self.total_batch_size()
-        groups = ceil_div(self.output_channels, self.block_out_channels)
-        ret = []
-        for b in range(total):
-            row = []
-            for oc in range(groups):
-                acc = None
-                for i in range(len(a[b])):
-                    prod = ev.multiply(a[b][i], w[oc][i])
-                    acc = prod if acc is None else ev.add(acc, prod)
-                row.append(acc)
-            ret.append(row)
-        return Cipher2d(ret)
+        """ct x ct convolution: out[b, oc] = sum_i mult(a[b, i], w[oc, i]),
+        one fused contraction (w transposed to the (i, oc) layout)."""
+        return _run_cipher_contraction(ev, a, w, transpose_w=True)
 
     def _mask_index(self, b, c, i, j, yh, yw):
         bci, bco = self.block_in_channels, self.block_out_channels

@@ -37,6 +37,18 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.array(devs), (axis_name,))
 
 
+def make_mesh_2d(dp: int, tp: int,
+                 axis_names: Sequence[str] = ("dp", "tp")) -> Mesh:
+    """A (dp, tp) 2-D mesh: batch parallelism on the outer axis (DCN-friendly
+    across hosts), limb/tensor parallelism on the inner axis (ICI-adjacent
+    devices)."""
+    devs = jax.devices()
+    if dp * tp > len(devs):
+        raise ValueError(f"mesh {dp}x{tp} exceeds {len(devs)} devices")
+    return Mesh(np.array(devs[:dp * tp]).reshape(dp, tp),
+                tuple(axis_names))
+
+
 def shard_batch(mesh: Mesh, data: jnp.ndarray,
                 axis_name: str = "dp") -> jnp.ndarray:
     """Place a (B, ...) batch with its leading axis split over the mesh."""
@@ -125,6 +137,49 @@ def limb_sharded_multiply_relin(context: HeContext, relin_keys: RelinKeys,
     key_spec = NamedSharding(mesh, P(axis_name, None, None, None))
 
     jitted = jax.jit(one, in_shardings=(spec, spec, None, key_spec, None),
+                     out_shardings=spec)
+
+    def run(d1, d2):
+        return jitted(d1, d2, cd, key, key_cd)
+
+    run.jitted = jitted          # exposed for HLO inspection in tests
+    run.args = (cd, key, key_cd)
+    return run
+
+
+def dp_limb_sharded_multiply_relin(context: HeContext,
+                                   relin_keys: RelinKeys, mesh: Mesh,
+                                   dp_axis: str = "dp",
+                                   tp_axis: str = "tp"):
+    """Combined DP x limb regime over a 2-D mesh (the dp x tp layout of a
+    production pod slice): ciphertext batches split over the outer axis,
+    each ciphertext's RNS limbs split over the inner axis. The limb-axis
+    contractions (BEHZ base conversion, key-switch inner product) reduce
+    over ICI within a dp group; no cross-group communication exists."""
+    cd = context.first_context_data
+    key_cd = context.key_context_data
+    scheme = context.scheme
+    key = relin_keys.keys[2]
+    is_ntt = scheme in (SchemeType.ckks, SchemeType.bgv)
+
+    def one(d1, d2, cd, key, key_cd):
+        if scheme == SchemeType.bfv:
+            prod = ev_mod._bfv_multiply(d1, d2, cd)
+        else:
+            prod = ev_mod._ntt_form_multiply(d1, d2, cd)
+        delta = ev_mod._switch_key_core(prod[2], key, cd, key_cd, is_ntt)
+        c0 = ev_mod._add(prod[0][None], delta[0][None], cd)[0]
+        c1 = ev_mod._add(prod[1][None], delta[1][None], cd)[0]
+        return jnp.stack([c0, c1])
+
+    batched = jax.vmap(one, in_axes=(0, 0, None, None, None))
+    # (B, size, k, n): batch over dp, limbs over tp; the ksk decomposition
+    # axis follows the data limbs it consumes (replicated across dp).
+    spec = NamedSharding(mesh, P(dp_axis, None, tp_axis, None))
+    key_spec = NamedSharding(mesh, P(tp_axis, None, None, None))
+
+    jitted = jax.jit(batched,
+                     in_shardings=(spec, spec, None, key_spec, None),
                      out_shardings=spec)
 
     def run(d1, d2):

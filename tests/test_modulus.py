@@ -2,6 +2,7 @@
 (reference: test/modulus.cpp — Barrett const_ratio, CoeffModulus factories,
 security-level tables; src/modulus.h:16-553, hestdparams.h)."""
 
+import numpy as np
 import pytest
 
 from troy_tpu.modulus import (Modulus, CoeffModulus, PlainModulus,
@@ -97,3 +98,12 @@ def test_create_distinct_from_plain_modulus():
     assert {int(m) for m in a} == {int(m) for m in b}  # deterministic
     four = CoeffModulus.create(n, [30, 30, 30, 30])
     assert len({int(m) for m in four}) == 4
+
+
+def test_value_attribute_and_method():
+    """The reference binder exposes value() as a method (binder.cu:169);
+    troy_tpu's attribute answers both styles."""
+    m = Modulus(97)
+    assert m.value == 97
+    assert m.value() == 97
+    assert int(np.uint64(m.value)) == 97

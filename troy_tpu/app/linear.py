@@ -61,23 +61,49 @@ def _matmul_tiles_core(ct_tiles: jnp.ndarray, pt_tiles: jnp.ndarray,
     return dntt.rns_ntt_inverse(acc, cd.ntt) if ct_coeff else acc
 
 
+# Compile-size guard for the ct x ct contraction: one XLA program per
+# contraction step keeps the unrolled BEHZ pipeline small enough for the
+# compiler (a fully fused I x Y grid at n=16384 OOM-killed it), while the
+# vmap inside each step still shares the lifts and batches the products.
+_MAX_CIPHER_MULS_PER_DISPATCH = 32
+
+
 @jax.jit
-def _matmul_cipher_tiles_core(a_tiles: jnp.ndarray, w_tiles: jnp.ndarray,
+def _matmul_cipher_pairs_core(a_col: jnp.ndarray, w_row: jnp.ndarray,
                               cd: ContextData) -> jnp.ndarray:
-    """ct x ct tile contraction: out[x, y] = sum_i mult(a[x, i], w[i, y])
-    (size 2 x 2 -> 3), one executable. The nested vmap broadcasts share
-    each tile's expensive BEHZ lift across the whole row/column while the
-    per-product t/Q floor keeps the reference's rounding order
+    """One contraction step: a_col (X, 2, k, n) x w_row (Yc, 2, k, n) ->
+    (X, Yc, 3, k, n). The nested vmap broadcasts share each tile's
+    expensive BEHZ lift across the whole row/column while the per-product
+    t/Q floor keeps the reference's rounding order
     (evaluator_cuda.cu:283-382 per product, then addInplace)."""
     if cd.scheme == SchemeType.bfv:
         mul = lambda da, dw: _bfv_multiply.__wrapped__(da, dw, cd)
     else:
         mul = lambda da, dw: _ntt_form_multiply.__wrapped__(da, dw, cd)
+    return jax.vmap(jax.vmap(mul, in_axes=(None, 0)),
+                    in_axes=(0, None))(a_col, w_row)
+
+
+@jax.jit
+def _acc_add(a: jnp.ndarray, b: jnp.ndarray, cd: ContextData) -> jnp.ndarray:
+    return dpoly.rns_add(a, b, cd.ntt)
+
+
+def _matmul_cipher_tiles_core(a_tiles: jnp.ndarray, w_tiles: jnp.ndarray,
+                              cd: ContextData) -> jnp.ndarray:
+    """ct x ct tile contraction out[x, y] = sum_i mult(a[x, i], w[i, y]),
+    chunked into per-step dispatches (see _MAX_CIPHER_MULS_PER_DISPATCH)."""
+    X, I = a_tiles.shape[0], a_tiles.shape[1]
+    Y = w_tiles.shape[1]
+    y_chunk = max(1, _MAX_CIPHER_MULS_PER_DISPATCH // max(1, X))
     acc = None
-    for i in range(a_tiles.shape[1]):
-        prod = jax.vmap(jax.vmap(mul, in_axes=(None, 0)),
-                        in_axes=(0, None))(a_tiles[:, i], w_tiles[i])
-        acc = prod if acc is None else dpoly.rns_add(acc, prod, cd.ntt)
+    for i in range(I):
+        parts = []
+        for y0 in range(0, Y, y_chunk):
+            parts.append(_matmul_cipher_pairs_core(
+                a_tiles[:, i], w_tiles[i, y0:y0 + y_chunk], cd))
+        prod = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+        acc = prod if acc is None else _acc_add(acc, prod, cd)
     return acc
 
 

@@ -500,9 +500,14 @@ class Encryptor:
         return _assign_or_return(self._inner.encrypt(plain._inner), out)
 
     def encrypt_symmetric(self, plain: Plaintext,
-                          out: Optional[Ciphertext] = None) -> Ciphertext:
-        return _assign_or_return(self._inner.encrypt_symmetric(plain._inner),
-                                 out)
+                          out: Optional[Ciphertext] = None,
+                          save_seed: bool = False) -> Ciphertext:
+        """save_seed=True keeps the c1-regeneration seed so save() emits
+        the compressed form (the reference's Serializable<Ciphertext>
+        behavior for symmetric encryptions)."""
+        return _assign_or_return(
+            self._inner.encrypt_symmetric(plain._inner,
+                                          save_seed=save_seed), out)
 
     def encrypt_zero(self, parms_id=None) -> Ciphertext:
         lvl = None if parms_id is None else self._ctx._level_of(parms_id)

@@ -67,6 +67,17 @@ class _CallableBool(int):
         return repr(bool(self))
 
 
+class _CallableInt(int):
+    """Int that also answers ``value()`` calls — the reference binds
+    Modulus::value as a *method* (binder.cu:169) while troy_tpu exposes it
+    as an attribute; this type serves both call sites."""
+
+    __slots__ = ()
+
+    def __call__(self) -> int:
+        return int(self)
+
+
 @dataclass(frozen=True)
 class Modulus:
     """An integer modulus q < 2^61 with a precomputed Barrett ratio
@@ -78,7 +89,8 @@ class Modulus:
     is_prime: bool = field(init=False)
 
     def __post_init__(self):
-        v = self.value
+        v = int(self.value)
+        object.__setattr__(self, "value", _CallableInt(v))
         if v != 0:
             if v >> MOD_BIT_COUNT_MAX or v <= 1:
                 raise ValueError(f"modulus {v} out of range (2, 2^61)")
@@ -102,7 +114,7 @@ class Modulus:
         return x % self.value
 
     def __int__(self) -> int:
-        return self.value
+        return int.__int__(self.value)   # plain int (not the callable shim)
 
     def __eq__(self, other) -> bool:
         if isinstance(other, Modulus):

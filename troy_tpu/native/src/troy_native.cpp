@@ -85,17 +85,24 @@ static void b2b_compress(B2BState* s, const uint8_t* block, int last) {
     for (int i = 0; i < 8; i++) s->h[i] ^= v[i] ^ v[i + 8];
 }
 
-static void b2b_init(B2BState* s, size_t digest_len, const uint8_t* key,
-                     size_t key_len, uint64_t node_offset) {
-    // RFC 7693 parameter block: digest, key_len, fanout=1, depth=1,
-    // leaf_length=0, node_offset, node_depth=0, inner_length=0
+// Full BLAKE2b parameter-block init (RFC 7693 / BLAKE2X layout:
+// node_offset is 4 bytes with xof_length in the following 4).
+static void b2b_init_param(B2BState* s, size_t digest_len, const uint8_t* key,
+                           size_t key_len, uint8_t fanout, uint8_t depth,
+                           uint32_t leaf_len, uint32_t node_offset,
+                           uint32_t xof_len, uint8_t node_depth,
+                           uint8_t inner_len) {
     uint8_t p[64];
     memset(p, 0, sizeof(p));
     p[0] = (uint8_t)digest_len;
     p[1] = (uint8_t)key_len;
-    p[2] = 1;
-    p[3] = 1;
-    memcpy(p + 8, &node_offset, 8);
+    p[2] = fanout;
+    p[3] = depth;
+    memcpy(p + 4, &leaf_len, 4);
+    memcpy(p + 8, &node_offset, 4);
+    memcpy(p + 12, &xof_len, 4);
+    p[16] = node_depth;
+    p[17] = inner_len;
     for (int i = 0; i < 8; i++) {
         uint64_t w = 0;
         memcpy(&w, p + 8 * i, 8);
@@ -139,14 +146,16 @@ static void b2b_final(B2BState* s, uint8_t* out, size_t digest_len) {
     memcpy(out, full, digest_len);
 }
 
-// blake2xb-style expansion matching troy_tpu.prng._blake2xb:
-//   h0 = blake2b(data, 64, key)
-//   block i = blake2b(h0, digest=min(64, rem), node_offset = i | out_len<<32)
+// BLAKE2Xb exactly per the upstream BLAKE2X reference (and therefore
+// bit-identical to the reference library's host PRNG, blake2xb.c):
+//   root: keyed blake2b-512, fanout=1 depth=1, xof_length=out_len
+//   block i: blake2b(root), digest=min(64, rem), fanout=0 depth=0,
+//            leaf_length=64, node_offset=i, xof_length=out_len, inner=64
 static void blake2xb(const uint8_t* data, size_t data_len, const uint8_t* key,
                      size_t key_len, uint8_t* out, uint64_t out_len) {
     uint8_t h0[64];
     B2BState s;
-    b2b_init(&s, 64, key, key_len, 0);
+    b2b_init_param(&s, 64, key, key_len, 1, 1, 0, 0, (uint32_t)out_len, 0, 0);
     b2b_update(&s, data, data_len);
     b2b_final(&s, h0, 64);
     uint64_t i = 0;
@@ -154,7 +163,8 @@ static void blake2xb(const uint8_t* data, size_t data_len, const uint8_t* key,
     while (rem > 0) {
         size_t blk = rem < 64 ? (size_t)rem : 64;
         B2BState bs;
-        b2b_init(&bs, blk, nullptr, 0, i | (out_len << 32));
+        b2b_init_param(&bs, blk, nullptr, 0, 0, 0, 64, (uint32_t)i,
+                       (uint32_t)out_len, 0, 64);
         b2b_update(&bs, h0, 64);
         b2b_final(&bs, out, blk);
         out += blk;

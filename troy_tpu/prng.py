@@ -34,30 +34,96 @@ class PrngType(enum.IntEnum):
     shake256 = 2
 
 
-def _blake2xb(data: bytes, out_len: int, key: bytes = b"") -> bytes:
-    """blake2b-based XOF in the BLAKE2X shape: a 64-byte root hash, then
-    independent per-block finalizations distinguished by node_offset.
+# --------------------------------------------------------------------------
+# BLAKE2Xb, bit-exact with the reference's blake2xb.c (the upstream BLAKE2X
+# reference implementation). The root hash is expressible through hashlib
+# (fanout=1/depth=1 with xof_length packed into node_offset's high word);
+# the expansion blocks use BLAKE2X's fanout=0/depth=0 leaf parameters,
+# which hashlib rejects, so they run through a single-shot pure-Python
+# blake2b compression (or the native module's C path on the bulk route).
+# --------------------------------------------------------------------------
 
-    (hashlib cannot express BLAKE2X's fanout=0/depth=0 leaf parameters, so
-    the per-block domain separation uses sequential-mode blake2b keyed by
-    the block index — a deterministic XOF with the same structure; exact
-    byte parity with the reference is unattainable anyway since its device
-    path is curand, rlwe_cuda.cu:34-151.)
-    """
+_B2B_IV = (
+    0x6a09e667f3bcc908, 0xbb67ae8584caa73b, 0x3c6ef372fe94f82b,
+    0xa54ff53a5f1d36f1, 0x510e527fade682d1, 0x9b05688c2b3e6c1f,
+    0x1f83d9abfb41bd6b, 0x5be0cd19137e2179)
+
+_B2B_SIGMA = (
+    (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
+    (14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3),
+    (11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4),
+    (7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8),
+    (9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13),
+    (2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9),
+    (12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11),
+    (13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10),
+    (6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5),
+    (10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0),
+    (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
+    (14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3))
+
+_M64 = (1 << 64) - 1
+
+
+def _b2b_expand_block(root: bytes, digest_len: int, index: int,
+                      xof_len: int) -> bytes:
+    """One BLAKE2X expansion block: blake2b of the 64-byte root with the
+    leaf parameter block (digest=digest_len, fanout=0, depth=0,
+    leaf_length=64, node_offset=index, xof_length=xof_len, inner=64) —
+    a single compression, computed in pure Python."""
+    param = bytearray(64)
+    param[0] = digest_len
+    param[2] = 0                           # fanout
+    param[3] = 0                           # depth
+    param[4:8] = (64).to_bytes(4, "little")        # leaf_length
+    param[8:12] = index.to_bytes(4, "little")      # node_offset
+    param[12:16] = xof_len.to_bytes(4, "little")   # xof_length
+    param[17] = 64                         # inner_length
+    pw = _struct.unpack("<8Q", bytes(param))
+    h = [_B2B_IV[j] ^ pw[j] for j in range(8)]
+
+    block = root + bytes(64)               # 64-byte message, zero-padded
+    m = _struct.unpack("<16Q", block)
+    v = h + list(_B2B_IV)
+    v[12] ^= 64                            # t0 = message length
+    v[14] = ~v[14] & _M64                  # last block
+    for r in range(12):
+        g = _B2B_SIGMA[r]
+        for gi, (a, b, c, d) in enumerate(((0, 4, 8, 12), (1, 5, 9, 13),
+                                           (2, 6, 10, 14), (3, 7, 11, 15),
+                                           (0, 5, 10, 15), (1, 6, 11, 12),
+                                           (2, 7, 8, 13), (3, 4, 9, 14))):
+            x, y = m[g[2 * gi]], m[g[2 * gi + 1]]
+            v[a] = (v[a] + v[b] + x) & _M64
+            v[d] = ((v[d] ^ v[a]) >> 32 | (v[d] ^ v[a]) << 32) & _M64
+            v[c] = (v[c] + v[d]) & _M64
+            v[b] = ((v[b] ^ v[c]) >> 24 | (v[b] ^ v[c]) << 40) & _M64
+            v[a] = (v[a] + v[b] + y) & _M64
+            v[d] = ((v[d] ^ v[a]) >> 16 | (v[d] ^ v[a]) << 48) & _M64
+            v[c] = (v[c] + v[d]) & _M64
+            v[b] = ((v[b] ^ v[c]) >> 63 | (v[b] ^ v[c]) << 1) & _M64
+    out = _struct.pack("<8Q", *[(h[j] ^ v[j] ^ v[j + 8]) & _M64
+                                for j in range(8)])
+    return out[:digest_len]
+
+
+def _blake2xb(data: bytes, out_len: int, key: bytes = b"") -> bytes:
+    """BLAKE2Xb exactly per the reference implementation
+    (src/utils/blake2xb.c): root = keyed blake2b-512 with
+    xof_length=out_len in the parameter block, then per-block leaf
+    finalizations. Bit-identical to the reference's host PRNG stream —
+    unlike its GPU path, which is curand (rlwe_cuda.cu:34-151)."""
     if not 0 < out_len < (1 << 32):
         raise ValueError("out_len out of range")
-    h0 = hashlib.blake2b(data, digest_size=64, key=key).digest()
+    h0 = hashlib.blake2b(data, digest_size=64, key=key, fanout=1, depth=1,
+                         leaf_size=0, node_offset=out_len << 32,
+                         node_depth=0, inner_size=0).digest()
     out = bytearray()
     i = 0
     remaining = out_len
     while remaining > 0:
         block_len = min(64, remaining)
-        b = hashlib.blake2b(
-            h0,
-            digest_size=block_len,
-            node_offset=i | (out_len << 32),
-        ).digest()
-        out += b
+        out += _b2b_expand_block(h0, block_len, i, out_len)
         remaining -= block_len
         i += 1
     return bytes(out)

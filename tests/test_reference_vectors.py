@@ -1,0 +1,88 @@
+"""Cross-implementation parity against the reference's OWN host path.
+
+tests/data/ref_bfv_n64_seed42.txt was produced by compiling the
+reference's pure-C++ CPU library (troy:: namespace, src/*.cpp) and running
+seeded BFV keygen -> batch-encode -> symmetric-encrypt -> decrypt
+(generator source kept alongside: ref_bfv_n64_seed42_generator.cpp.txt).
+These tests load the reference's raw secret key / plaintext / ciphertext
+coefficient arrays into troy_tpu's types and require bit-exact agreement —
+pinning prime generation, the encoder index map, the NTT domain
+conventions, and the whole decryption pipeline against the reference
+implementation itself (BASELINE.md correctness gate).
+"""
+
+import pathlib
+
+import numpy as np
+import pytest
+
+import troy_tpu as T
+
+N = 64
+DATA = pathlib.Path(__file__).parent / "data" / "ref_bfv_n64_seed42.txt"
+
+
+@pytest.fixture(scope="module")
+def vec():
+    out = {}
+    for line in DATA.read_text().splitlines():
+        parts = line.split()
+        if parts[0] in ("sk", "pt", "ct", "dec"):
+            count = int(parts[1])
+            out[parts[0]] = np.array(parts[2:2 + count], dtype=np.uint64)
+        elif parts[0] == "plain_modulus":
+            out["t"] = int(parts[1])
+        elif parts[0] == "coeff_modulus":
+            out["q"] = [int(x) for x in parts[1:]]
+        elif parts[0] == "ct_size":
+            out["ct_size"] = int(parts[1])
+            out["ct_ntt"] = bool(int(parts[3]))
+    return out
+
+
+@pytest.fixture(scope="module")
+def ctx():
+    parms = T.EncryptionParameters(
+        scheme=T.SchemeType.bfv, poly_modulus_degree=N,
+        coeff_modulus=tuple(T.CoeffModulus.create(N, [40, 40, 40])),
+        plain_modulus=T.PlainModulus.batching(N, 17))
+    return T.HeContext(parms, sec_level=T.SecurityLevel.none)
+
+
+def test_parameter_generation_matches(vec, ctx):
+    """CoeffModulus.create / PlainModulus.batching produce the exact primes
+    the reference generated (modulus.cpp:80-120, numth.cpp:261-284)."""
+    assert [int(m) for m in T.CoeffModulus.create(N, [40, 40, 40])] == vec["q"]
+    assert int(T.PlainModulus.batching(N, 17)) == vec["t"]
+
+
+def test_batch_encoder_matches_reference(vec, ctx):
+    """encode() yields the reference's exact plaintext coefficients
+    (batchencoder.cpp index map + inverse plain NTT)."""
+    be = T.BatchEncoder(ctx)
+    values = np.array([i % 97 for i in range(N)], dtype=np.uint64)
+    pt = be.encode(values)
+    ours = np.asarray(pt.data)[:len(vec["pt"])]
+    np.testing.assert_array_equal(ours, vec["pt"])
+
+
+def test_decrypt_reference_ciphertext(vec, ctx):
+    """Load the reference's secret key and symmetric ciphertext raw and
+    decrypt+decode with troy_tpu: results must be bit-exact. Validates the
+    NTT layout contract, the ct data layout, dot-product decryption, and
+    BFV scale-and-round against the reference implementation."""
+    key_limbs = len(vec["q"])
+    sk = T.SecretKey(data=vec["sk"].reshape(key_limbs, N))
+    data_limbs = key_limbs - 1
+    assert vec["ct_size"] * data_limbs * N == len(vec["ct"])
+    ct = T.Ciphertext(
+        data=vec["ct"].reshape(vec["ct_size"], data_limbs, N),
+        level=ctx.first_level, is_ntt_form=vec["ct_ntt"])
+    dec = T.Decryptor(ctx, sk)
+    pt = dec.decrypt(ct)
+    ours = np.asarray(pt.data)[:len(vec["dec"])]
+    np.testing.assert_array_equal(ours, vec["dec"])
+    be = T.BatchEncoder(ctx)
+    got = be.decode(pt)
+    np.testing.assert_array_equal(
+        got, np.array([i % 97 for i in range(N)], dtype=np.uint64))

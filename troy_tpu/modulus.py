@@ -211,7 +211,9 @@ class CoeffModulus:
         }
         result = []
         for size in bit_sizes:
-            result.append(Modulus(prime_table[size].pop(0)))
+            # reference pops from the BACK of the descending scan
+            # (modulus.cpp:117 prime_table[size].back()) — ascending order
+            result.append(Modulus(prime_table[size].pop()))
         return result
 
 

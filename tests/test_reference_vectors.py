@@ -167,3 +167,101 @@ def test_mod_switch_bit_exact(vec, ctx, ops):
     got = ev.mod_switch_to_next(ops["rel"])
     np.testing.assert_array_equal(np.asarray(got.data),
                                   np.asarray(ops["ms"].data))
+
+
+# ---------------------------------------------------------------------------
+# BGV + CKKS evaluator-op parity (generator: ref_bgv_ckks_ops_generator).
+# The reference's host BGV ciphertexts live in COEFFICIENT form while
+# troy_tpu keeps BGV in NTT form; the loads transform at the boundary and
+# still require word-for-word agreement.
+# ---------------------------------------------------------------------------
+
+OPS2 = pathlib.Path(__file__).parent / "data" / "ref_bgv_ckks_ops.txt"
+
+
+def _load_ops2():
+    raw, meta = {}, {}
+    for line in OPS2.read_text().splitlines():
+        parts = line.split()
+        if parts[0].endswith("_meta"):
+            meta[parts[0][:-5]] = (int(parts[1]), bool(int(parts[2])),
+                                   int(parts[3]), float(parts[4]))
+        elif parts[0].endswith("_rows"):
+            pass
+        else:
+            raw[parts[0]] = np.array(parts[2:2 + int(parts[1])],
+                                     dtype=np.uint64)
+    return raw, meta
+
+
+@pytest.fixture(scope="module")
+def ops2():
+    return _load_ops2()
+
+
+def _keys_of(raw, prefix, rows, key_limbs):
+    import jax.numpy as jnp
+    return jnp.asarray(np.stack(
+        [raw[f"{prefix}_{i}"].reshape(2, key_limbs, N) for i in range(rows)]))
+
+
+def test_bgv_ops_bit_exact(ops2):
+    from troy_tpu.he_types import RelinKeys
+    raw, meta = ops2
+    parms = T.EncryptionParameters(
+        scheme=T.SchemeType.bgv, poly_modulus_degree=N,
+        coeff_modulus=tuple(T.CoeffModulus.create(N, [40, 40, 40])),
+        plain_modulus=T.PlainModulus.batching(N, 17))
+    ctx = T.HeContext(parms, sec_level=T.SecurityLevel.none)
+    ev = T.Evaluator(ctx)
+    rlk = RelinKeys(keys={2: _keys_of(raw, "bgv_rlk", 2, 3)})
+
+    def load(tag, level=ctx.first_level):
+        size, ntt, cf, _ = meta[tag]
+        ct = T.Ciphertext(data=raw[tag].reshape(size, -1, N), level=level,
+                          is_ntt_form=ntt, correction_factor=cf)
+        return ct if ntt else ev.transform_to_ntt(ct)
+
+    def unload(ct):
+        return np.asarray(ev.transform_from_ntt(ct).data)
+
+    c1, c2 = load("bgv_c1"), load("bgv_c2")
+    prod = ev.multiply(c1, c2)
+    np.testing.assert_array_equal(unload(prod),
+                                  raw["bgv_prod"].reshape(3, -1, N))
+    rel = ev.relinearize(prod, rlk)
+    np.testing.assert_array_equal(unload(rel),
+                                  raw["bgv_rel"].reshape(2, -1, N))
+    ms = ev.mod_switch_to_next(rel)
+    assert ms.correction_factor == meta["bgv_ms"][2]
+    np.testing.assert_array_equal(unload(ms),
+                                  raw["bgv_ms"].reshape(2, -1, N))
+
+
+def test_ckks_ops_bit_exact(ops2):
+    from troy_tpu.he_types import RelinKeys
+    raw, meta = ops2
+    parms = T.EncryptionParameters(
+        scheme=T.SchemeType.ckks, poly_modulus_degree=N,
+        coeff_modulus=tuple(T.CoeffModulus.create(N, [50, 30, 50])))
+    ctx = T.HeContext(parms, sec_level=T.SecurityLevel.none)
+    ev = T.Evaluator(ctx)
+    rlk = RelinKeys(keys={2: _keys_of(raw, "ckks_rlk", 2, 3)})
+
+    def load(tag, level=ctx.first_level):
+        size, ntt, _, scale = meta[tag]
+        return T.Ciphertext(data=raw[tag].reshape(size, -1, N), level=level,
+                            is_ntt_form=ntt, scale=scale)
+
+    c1, c2 = load("ckks_c1"), load("ckks_c2")
+    prod = ev.multiply(c1, c2)
+    assert prod.scale == meta["ckks_prod"][3]
+    np.testing.assert_array_equal(np.asarray(prod.data),
+                                  raw["ckks_prod"].reshape(3, -1, N))
+    rel = ev.relinearize(prod, rlk)
+    np.testing.assert_array_equal(np.asarray(rel.data),
+                                  raw["ckks_rel"].reshape(2, -1, N))
+    rs = ev.rescale_to_next(rel)
+    assert abs(rs.scale - meta["ckks_rs"][3]) < 1e-3
+    np.testing.assert_array_equal(np.asarray(rs.data),
+                                  raw["ckks_rs"].reshape(2, -1, N))

@@ -265,3 +265,14 @@ def test_ckks_ops_bit_exact(ops2):
     assert abs(rs.scale - meta["ckks_rs"][3]) < 1e-3
     np.testing.assert_array_equal(np.asarray(rs.data),
                                   raw["ckks_rs"].reshape(2, -1, N))
+
+
+def test_seeded_keygen_reproduces_reference_secret_key(vec, ctx):
+    """KeyGenerator with the reference's seed produces the reference's
+    exact NTT-form secret key: the PRNG stream (BLAKE2Xb) and the ternary
+    sampler draw order are both bit-compatible (randomgen.cpp:188,
+    rlwe.cpp:21-41, keygenerator.cpp generateSk)."""
+    from troy_tpu import prng as rnd
+    kg = T.KeyGenerator(ctx, seed=rnd.seed_from_uint64(42))
+    np.testing.assert_array_equal(np.asarray(kg.secret_key.data),
+                                  vec["sk"].reshape(len(vec["q"]), N))

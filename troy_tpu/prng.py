@@ -234,22 +234,33 @@ _CBD_BITS = 21                          # per side; Var = 2*21/4 -> sigma 3.24
 
 
 def sample_poly_ternary(prng: UniformRandomGenerator, n: int) -> np.ndarray:
-    """Uniform ternary {-1, 0, 1} secret/encapsulation polynomial
-    (rlwe.cpp samplePolyTernary: rand % 3 per uint64 draw)."""
-    raw = prng.uint64_array(n)
-    r = (raw % 3).astype(np.int64)
-    return r - 1   # {0,1,2} -> {-1,0,1}
+    """Uniform ternary {-1, 0, 1} secret/encapsulation polynomial with the
+    reference's exact draw order (rlwe.cpp:21-41 samplePolyTernary):
+    std::uniform_int_distribution<uint64_t>(0, 2) over the 32-bit
+    RandomToStandardAdapter — one u32 per coefficient, 0xFFFFFFFF
+    rejected, result = draw / 0x55555555 (the libstdc++ downscaling)."""
+    scaling = 0xFFFFFFFF // 3                 # 1431655765
+    past = 3 * scaling                        # 4294967295: only max rejected
+    out = np.empty(n, dtype=np.int64)
+    draws = np.frombuffer(prng.generate(4 * n), dtype="<u4").astype(np.int64)
+    for i in range(n):
+        r = draws[i]
+        while r >= past:
+            r = _struct.unpack("<I", prng.generate(4))[0]
+        out[i] = r // scaling
+    return out - 1   # {0,1,2} -> {-1,0,1}
 
 
 def sample_poly_cbd(prng: UniformRandomGenerator, n: int) -> np.ndarray:
-    """Centered binomial noise, sigma ~= 3.2 (rlwe.cpp samplePolyCbd:
-    difference of two 21-bit Hamming weights per coefficient)."""
-    raw = prng.uint64_array(n)
-    mask = np.uint64((1 << _CBD_BITS) - 1)
-    x = raw & mask
-    y = (raw >> np.uint64(_CBD_BITS)) & mask
-    return (np.bitwise_count(x).astype(np.int64)
-            - np.bitwise_count(y).astype(np.int64))
+    """Centered binomial noise, sigma ~= 3.2, with the reference's exact
+    byte draws (rlwe.cpp:70-106 samplePolyCbd): 6 bytes per coefficient,
+    value = wt(x0)+wt(x1)+wt(x2 & 0x1F) - wt(x3)-wt(x4)-wt(x5 & 0x1F)."""
+    raw = np.frombuffer(prng.generate(6 * n), dtype=np.uint8).reshape(n, 6)
+    raw = raw.copy()
+    raw[:, 2] &= 0x1F
+    raw[:, 5] &= 0x1F
+    w = np.bitwise_count(raw).astype(np.int64)
+    return w[:, 0] + w[:, 1] + w[:, 2] - w[:, 3] - w[:, 4] - w[:, 5]
 
 
 def sample_poly_normal(prng: UniformRandomGenerator, n: int) -> np.ndarray:
@@ -274,24 +285,27 @@ def sample_poly_normal(prng: UniformRandomGenerator, n: int) -> np.ndarray:
 
 def sample_poly_uniform(prng: UniformRandomGenerator, n: int,
                         moduli: Sequence[int]) -> np.ndarray:
-    """Uniform element of R_q: independent per limb, rejection sampling with
-    a power-of-two mask (rlwe.cpp samplePolyUniform). Returns (k, n) uint64
-    residues."""
-    out = np.zeros((len(moduli), n), dtype=np.uint64)
-    for i, q in enumerate(moduli):
-        bits = q.bit_length()
-        mask = np.uint64((1 << bits) - 1)
-        need = np.full(n, True)
-        vals = np.zeros(n, dtype=np.uint64)
-        while need.any():
-            cnt = int(need.sum())
-            draw = prng.uint64_array(cnt) & mask
-            ok = draw < np.uint64(q)
-            idx = np.flatnonzero(need)
-            acc_idx = idx[ok]
-            vals[acc_idx] = draw[ok]
-            need[acc_idx] = False
-        out[i] = vals
+    """Uniform element of R_q with the reference's exact draw order
+    (rlwe.cpp:122-151 samplePolyUniform): one bulk k*n*8-byte fill, then
+    per limb, coefficient-order rejection (redraw 8 bytes while
+    v >= 2^64-1 - ((2^64-1) mod q) - 1) and a Barrett reduction mod q.
+    Returns (k, n) uint64 residues."""
+    k = len(moduli)
+    vals = np.frombuffer(prng.generate(8 * k * n), dtype="<u8").reshape(k, n)
+    out = np.zeros((k, n), dtype=np.uint64)
+    max_random = (1 << 64) - 1
+    for j, q in enumerate(moduli):
+        max_multiple = max_random - (max_random % q) - 1
+        row = vals[j]
+        rejected = np.flatnonzero(row >= np.uint64(max_multiple))
+        if len(rejected):
+            row = row.copy()
+            for i in rejected:
+                r = int(row[i])
+                while r >= max_multiple:
+                    r = _struct.unpack("<Q", prng.generate(8))[0]
+                row[i] = r
+        out[j] = row % np.uint64(q)
     return out
 
 

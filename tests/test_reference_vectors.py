@@ -276,3 +276,19 @@ def test_seeded_keygen_reproduces_reference_secret_key(vec, ctx):
     kg = T.KeyGenerator(ctx, seed=rnd.seed_from_uint64(42))
     np.testing.assert_array_equal(np.asarray(kg.secret_key.data),
                                   vec["sk"].reshape(len(vec["q"]), N))
+
+
+def test_ckks_encoder_bit_exact(ops2):
+    """CKKS canonical-embedding encode reproduces the reference's exact
+    plaintext words at scale 2^30 (ckks.cpp encodeInternal: the IEEE-754
+    FFT + scaled rounding agree bit-for-bit)."""
+    raw, _ = ops2
+    parms = T.EncryptionParameters(
+        scheme=T.SchemeType.ckks, poly_modulus_degree=N,
+        coeff_modulus=tuple(T.CoeffModulus.create(N, [50, 30, 50])))
+    ctx = T.HeContext(parms, sec_level=T.SecurityLevel.none)
+    enc = T.CKKSEncoder(ctx)
+    v = np.array([0.1 * i - 1.5 for i in range(N // 2)])
+    pt = enc.encode(v, scale=float(1 << 30))
+    np.testing.assert_array_equal(np.asarray(pt.data).reshape(-1),
+                                  raw["ckks_p1"])

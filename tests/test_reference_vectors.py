@@ -292,3 +292,61 @@ def test_ckks_encoder_bit_exact(ops2):
     pt = enc.encode(v, scale=float(1 << 30))
     np.testing.assert_array_equal(np.asarray(pt.data).reshape(-1),
                                   raw["ckks_p1"])
+
+
+def test_host_sampling_encryption_bit_exact_bfv(vec, ctx):
+    """Encryptor(host_sampling=True) with the reference's seed and secret
+    key produces the reference's exact symmetric ciphertext
+    (rlwe.cpp:110 encryptZeroSymmetric + scaling-variant embed)."""
+    from troy_tpu import prng as rnd
+    sk = T.SecretKey(data=vec["sk"].reshape(len(vec["q"]), N))
+    enc = T.Encryptor(ctx, secret_key=sk, seed=rnd.seed_from_uint64(42),
+                      host_sampling=True)
+    be = T.BatchEncoder(ctx)
+    values = np.array([i % 97 for i in range(N)], dtype=np.uint64)
+    ct = enc.encrypt_symmetric(be.encode(values))
+    np.testing.assert_array_equal(np.asarray(ct.data).reshape(-1), vec["ct"])
+
+
+def test_host_sampling_encryption_bit_exact_bgv_ckks(ops2):
+    """Same for BGV (seed 43) and CKKS (seed 44). The reference's seeded
+    factory REPLAYS the seed for every encryption (randomgen.h:419-427
+    create() with a default seed), so each ciphertext here uses a fresh
+    Encryptor; our production Encryptor deliberately continues one
+    stream instead (never reusing randomness across encryptions)."""
+    from troy_tpu import prng as rnd
+    raw, meta = ops2
+
+    parms = T.EncryptionParameters(
+        scheme=T.SchemeType.bgv, poly_modulus_degree=N,
+        coeff_modulus=tuple(T.CoeffModulus.create(N, [40, 40, 40])),
+        plain_modulus=T.PlainModulus.batching(N, 17))
+    ctx = T.HeContext(parms, sec_level=T.SecurityLevel.none)
+    sk = T.SecretKey(data=raw["bgv_sk"].reshape(3, N))
+    be = T.BatchEncoder(ctx)
+    ev = T.Evaluator(ctx)
+    v1 = np.array([i % 89 for i in range(N)], dtype=np.uint64)
+    v2 = np.array([(5 * i + 2) % 89 for i in range(N)], dtype=np.uint64)
+    for vals, tag in ((v1, "bgv_c1"), (v2, "bgv_c2")):
+        enc = T.Encryptor(ctx, secret_key=sk,
+                          seed=rnd.seed_from_uint64(43), host_sampling=True)
+        ct = enc.encrypt_symmetric(be.encode(vals))
+        # reference BGV host ciphertexts are coefficient-form; ours NTT-form
+        np.testing.assert_array_equal(
+            np.asarray(ev.transform_from_ntt(ct).data).reshape(-1), raw[tag])
+
+    parms = T.EncryptionParameters(
+        scheme=T.SchemeType.ckks, poly_modulus_degree=N,
+        coeff_modulus=tuple(T.CoeffModulus.create(N, [50, 30, 50])))
+    ctx = T.HeContext(parms, sec_level=T.SecurityLevel.none)
+    sk = T.SecretKey(data=raw["ckks_sk"].reshape(3, N))
+    cke = T.CKKSEncoder(ctx)
+    scale = float(1 << 30)
+    w1 = np.array([0.1 * i - 1.5 for i in range(N // 2)])
+    w2 = np.array([0.05 * i + 0.25 for i in range(N // 2)])
+    for vals, tag in ((w1, "ckks_c1"), (w2, "ckks_c2")):
+        enc = T.Encryptor(ctx, secret_key=sk,
+                          seed=rnd.seed_from_uint64(44), host_sampling=True)
+        ct = enc.encrypt_symmetric(cke.encode(vals, scale=scale))
+        np.testing.assert_array_equal(np.asarray(ct.data).reshape(-1),
+                                      raw[tag])

@@ -37,10 +37,14 @@ def _embed_plain_c0(m: jnp.ndarray, c0: jnp.ndarray,
             cd.coeff_div_plain_modulus, cd.ntt)
     if scheme == SchemeType.ckks:
         return dpoly.rns_add(c0, m, cd.ntt)
-    # bgv: centered lift, NTT, add
-    lifted = dpoly.plain_lift(
-        m, cd.ntt, int(cd.plain_modulus),
-        cd.plain_upper_half_threshold, cd.total_coeff_modulus)
+    # bgv: add the RAW plaintext residues, no centered lift
+    # (encryptor.cpp:237 addPlainWithoutScalingVariant — the t-multiple
+    # difference vs a centered lift is absorbed by decryption mod t, but
+    # the reference adds m directly and we match it bit-for-bit).
+    # plain_lift with threshold = t never triggers the upper-half branch,
+    # leaving exactly the per-limb Barrett reduction of m.
+    t = int(cd.plain_modulus)
+    lifted = dpoly.plain_lift(m, cd.ntt, t, t, cd.total_coeff_modulus)
     return dpoly.rns_add(c0, dntt.rns_ntt_forward(lifted, cd.ntt), cd.ntt)
 
 
@@ -54,6 +58,13 @@ def _encrypt_sym_full(seeds: jnp.ndarray, m: jnp.ndarray,
     ct = rlwe._zero_sym_core.__wrapped__(seeds[0], seeds[1], sk_data, cd,
                                          is_ntt_form)
     return ct.at[0].set(_embed_plain_c0(m, ct[0], cd))
+
+
+@jax.jit
+def _embed_into_zero(zero_data: jnp.ndarray, m: jnp.ndarray,
+                     cd: ContextData) -> jnp.ndarray:
+    """Embed the plaintext into a pre-built zero encryption's c0."""
+    return zero_data.at[0].set(_embed_plain_c0(m, zero_data[0], cd))
 
 
 @partial(jax.jit, static_argnames=("is_ntt_form", "size"))
@@ -72,13 +83,19 @@ class Encryptor:
     def __init__(self, context: HeContext,
                  public_key: Optional[PublicKey] = None,
                  secret_key: Optional[SecretKey] = None,
-                 seed: Optional[bytes] = None):
+                 seed: Optional[bytes] = None,
+                 host_sampling: bool = False):
         # keyless construction allowed: the reference's Encryptor(context)
         # + setPublicKey/setSecretKey pattern (binder.cu:464-469); key
         # presence is checked at encryption time instead.
+        # host_sampling=True makes symmetric encryption consume the PRNG
+        # stream exactly like the reference host path, so seeded
+        # ciphertexts are bit-identical to the reference's (slower: the
+        # default path samples on device from threefry streams).
         self.context = context
         self._pk = public_key
         self._sk = secret_key
+        self._host_sampling = host_sampling
         self._prng = rnd.RandomGeneratorFactory.default_factory().create(seed)
 
     # ---- public API (encryptor.h:123-394 analogues) ----
@@ -206,6 +223,13 @@ class Encryptor:
                 dtype=np.uint64)
             data = _encrypt_asym_full(jnp.asarray(seeds), m, self._pk.data,
                                       cd, is_ntt, size)
+            a_seed = 0
+        elif self._host_sampling:
+            if self._sk is None:
+                raise ValueError("no secret key set")
+            zero = rlwe.encrypt_zero_symmetric_reference(
+                cd, self._sk, self._prng, is_ntt)
+            data = _embed_into_zero(zero.data, m, cd)
             a_seed = 0
         else:
             if self._sk is None:

@@ -133,6 +133,60 @@ def _zero_sym_core(a_seed: jnp.ndarray, e_seed: jnp.ndarray,
     return jnp.stack([c0, c1])
 
 
+@partial(jax.jit, static_argnames=("is_ntt_form",))
+def _zero_sym_reference_core(c1_ntt: jnp.ndarray, noise: jnp.ndarray,
+                             sk_data: jnp.ndarray, cd: ContextData,
+                             is_ntt_form: bool) -> jnp.ndarray:
+    """Assemble (-(a*s + e), a) from host-sampled a (NTT domain) and
+    centered-lifted noise, in the reference's exact operation order
+    (rlwe.cpp:110-180 encryptZeroSymmetric)."""
+    k = cd.limbs
+    sk = sk_data[:k]
+    c0 = dntt.rns_dyadic_mul(sk, c1_ntt, cd.ntt)
+    t_plain = int(cd.plain_modulus) if cd.scheme == SchemeType.bgv else 1
+    if is_ntt_form:
+        nz = dntt.rns_ntt_forward(noise, cd.ntt)
+        if t_plain != 1:
+            nz = dpoly.rns_broadcast_scalar_mul(nz, t_plain, cd.ntt)
+        c0 = dpoly.rns_neg(dpoly.rns_add(nz, c0, cd.ntt), cd.ntt)
+        c1 = c1_ntt
+    else:
+        c0 = dntt.rns_ntt_inverse(c0, cd.ntt)
+        nz = noise
+        if t_plain != 1:
+            nz = dpoly.rns_broadcast_scalar_mul(nz, t_plain, cd.ntt)
+        c0 = dpoly.rns_neg(dpoly.rns_add(nz, c0, cd.ntt), cd.ntt)
+        c1 = dntt.rns_ntt_inverse(c1_ntt, cd.ntt)
+    return jnp.stack([c0, c1])
+
+
+def encrypt_zero_symmetric_reference(
+        cd: ContextData,
+        sk: SecretKey,
+        generator: rnd.UniformRandomGenerator,
+        is_ntt_form: bool,
+) -> Ciphertext:
+    """Reference-interop symmetric zero encryption: consumes the PRNG
+    stream exactly like the reference's host path (rlwe.cpp:110
+    encryptZeroSymmetric: 64-byte public seed for the uniform-a PRNG,
+    then CBD noise from the bootstrap stream), so the resulting
+    ciphertext is bit-identical to the reference's for the same seed.
+    (The default device-threefry path in ``encrypt_zero_symmetric`` is
+    the TPU-native fast path; this one exists for cross-implementation
+    reproducibility.)"""
+    n = cd.n
+    mods = list(cd.coeff_values)
+    public_seed = generator.generate(rnd.PRNG_SEED_BYTES)
+    ct_prng = rnd.UniformRandomGenerator(public_seed)
+    c1_ntt = jnp.asarray(rnd.sample_poly_uniform(ct_prng, n, mods))
+    noise = jnp.asarray(
+        rnd.centered_to_rns(rnd.sample_poly_cbd(generator, n), mods))
+    data = _zero_sym_reference_core(c1_ntt, noise, sk.data, cd, is_ntt_form)
+    return Ciphertext(data=data, level=cd.chain_index,
+                      is_ntt_form=is_ntt_form, scale=1.0,
+                      correction_factor=1, seed=0)
+
+
 def encrypt_zero_symmetric(
         cd: ContextData,
         sk: SecretKey,

@@ -350,3 +350,19 @@ def test_host_sampling_encryption_bit_exact_bgv_ckks(ops2):
         ct = enc.encrypt_symmetric(cke.encode(vals, scale=scale))
         np.testing.assert_array_equal(np.asarray(ct.data).reshape(-1),
                                       raw[tag])
+
+
+def test_host_sampling_keygen_reproduces_reference_keys(ctx, ops):
+    """KeyGenerator(host_sampling=True) with the reference's seed emits
+    the reference's relinearization and Galois keys bit-for-bit
+    (keygenerator.cpp:294-338 generateOneKswitchKey, createGaloisKeys;
+    randomgen.h seeded-factory replay semantics)."""
+    from troy_tpu import prng as rnd
+    kg = T.KeyGenerator(ctx, seed=rnd.seed_from_uint64(42),
+                        host_sampling=True)
+    rlk = kg.create_relin_keys()
+    np.testing.assert_array_equal(np.asarray(rlk.keys[2]),
+                                  np.asarray(ops["rlk"].keys[2]))
+    gk = kg.create_galois_keys(elts=[3])
+    np.testing.assert_array_equal(np.asarray(gk.keys[3]),
+                                  np.asarray(ops["gk3"].keys[3]))

@@ -59,8 +59,21 @@ class KeyGenerator:
 
     def __init__(self, context: HeContext,
                  secret_key: Optional[SecretKey] = None,
-                 seed: Optional[bytes] = None):
+                 seed: Optional[bytes] = None,
+                 host_sampling: bool = False):
+        # host_sampling=True makes every switching-key row a host-sampled
+        # zero encryption consuming a FRESH replay of the seed stream —
+        # exactly the reference's seeded-factory behavior
+        # (randomgen.h:419-427 create() replays the default seed;
+        # keygenerator.cpp:294-338 creates one PRNG per row) — so seeded
+        # relin/Galois keys are bit-identical to the reference's. The
+        # default path samples on device from threefry streams.
         self.context = context
+        if seed is None and host_sampling:
+            import secrets as _secrets
+            seed = _secrets.token_bytes(rnd.PRNG_SEED_BYTES)
+        self._seed = seed
+        self._host_sampling = host_sampling
         self._prng = rnd.RandomGeneratorFactory.default_factory().create(seed)
         if secret_key is not None:
             self._secret_key = secret_key
@@ -68,6 +81,10 @@ class KeyGenerator:
             self._secret_key = self._generate_sk()
         # cached NTT-domain powers of s over the key base: powers[p] = s^p
         self._sk_powers: Dict[int, jnp.ndarray] = {1: self._secret_key.data}
+
+    def _fresh_gen(self) -> rnd.UniformRandomGenerator:
+        """A replay of the seed stream (reference factory create())."""
+        return rnd.UniformRandomGenerator(self._seed)
 
     # ---- secret key (keygenerator.cpp generateSk) ----
     def _generate_sk(self) -> SecretKey:
@@ -84,9 +101,13 @@ class KeyGenerator:
     # ---- public key (keygenerator.cpp generatePk) ----
     def create_public_key(self, save_seed: bool = False) -> PublicKey:
         cd = self.context.key_context_data
-        ct = rlwe.encrypt_zero_symmetric(
-            cd, self._secret_key, self._prng, is_ntt_form=True,
-            save_seed=save_seed)
+        if self._host_sampling:
+            ct = rlwe.encrypt_zero_symmetric_reference(
+                cd, self._secret_key, self._fresh_gen(), is_ntt_form=True)
+        else:
+            ct = rlwe.encrypt_zero_symmetric(
+                cd, self._secret_key, self._prng, is_ntt_form=True,
+                save_seed=save_seed)
         return PublicKey(data=ct.data, seed=ct.seed)
 
     # ---- secret key powers (keygenerator.cpp computeSecretKeyArray:234) ----
@@ -112,6 +133,22 @@ class KeyGenerator:
                              "(need >= 2 coefficient moduli)")
         key_cd = ctx.key_context_data
         decomp = len(key_cd.coeff_values) - 1
+        if self._host_sampling:
+            # reference-exact: one host-sampled zero encryption per row,
+            # each replaying the seed stream; c0 limb j += (P mod q_j)*w_j
+            # (keygenerator.cpp:294-338 generateOneKswitchKey)
+            key_values = key_cd.coeff_values
+            p_special = key_values[-1]
+            rows = []
+            for j in range(decomp):
+                zero = rlwe.encrypt_zero_symmetric_reference(
+                    key_cd, self._secret_key, self._fresh_gen(),
+                    is_ntt_form=True)
+                qj = key_values[j]
+                term = drns.smul(w_ntt[j], p_special % qj, qj)
+                c0j = u.add_mod(zero.data[0, j], term, qj)
+                rows.append(zero.data.at[0, j].set(c0j))
+            return jnp.stack(rows)
         a_seeds = np.asarray([self._prng.next_uint64() | 1
                               for _ in range(decomp)], dtype=np.uint64)
         e_seeds = np.asarray([self._prng.next_uint64()

@@ -761,7 +761,13 @@ class Evaluator:
             data = _multiply_plain_ntt(ct.data, plain.data, cd)
             return ct.replace(data=data, scale=ct.scale * plain.scale, seed=0)
         if scheme == SchemeType.bgv:
-            m_ntt = _plain_to_ntt(plain.data, cd)
+            if plain.is_ntt_form:
+                # pre-lifted plaintext (multiplyPlainNtt)
+                if plain.level != ct.level:
+                    raise ValueError("NTT-form plaintext level mismatch")
+                m_ntt = plain.data
+            else:
+                m_ntt = _plain_to_ntt(plain.data, cd)
             data = _multiply_plain_ntt(ct.data, m_ntt, cd)
             return ct.replace(data=data, seed=0)
         # BFV ct in NTT form with NTT plaintext

@@ -69,3 +69,33 @@ def test_ckks_conv2d(ckks):
                     expect[b, co, i, j] = np.sum(
                         img[b, :, i:i + KH, j:j + KW] * ker[co])
     assert np.allclose(got, expect, atol=1e-3)
+
+
+def test_ckks_conv2d(ckks):
+    """CKKS conv2d through the scheme-generic Conv2dHelper (reference
+    LinearHelperCKKS.cuh Conv2dHelper / test/app/linear_ckks.cu)."""
+    ctx, enc, dec, ev, encd = ckks
+    B, H, W, KH, KW, CI, CO = 1, 5, 5, 2, 2, 2, 2
+    rng = np.random.default_rng(17)
+    x = rng.uniform(-1, 1, (B, CI, H, W))
+    w = rng.uniform(-1, 1, (CO, CI, KH, KW))
+
+    ep = lambda v: encd.encode_polynomial(v, SCALE)
+    dp = encd.decode_polynomial
+    helper = Conv2dHelper(B, H, W, KH, KW, CI, CO, N, objective=0)
+    w_enc = helper.encode_weights(ep, w)
+    x_ct = helper.encode_inputs(ep, x).encrypt_symmetric(enc)
+    y_ct = helper.conv2d(ev, x_ct, w_enc)
+    blob = helper.serialize_outputs(ev, ctx, y_ct)
+    y2 = helper.deserialize_outputs(ev, ctx, blob)
+    y = helper.decrypt_outputs(dp, dec, y2)
+    oh, ow = H - KH + 1, W - KW + 1
+    expect = np.zeros((B, CO, oh, ow))
+    for b in range(B):
+        for co in range(CO):
+            for i in range(oh):
+                for j in range(ow):
+                    for ci in range(CI):
+                        expect[b, co, i, j] += (
+                            x[b, ci, i:i + KH, j:j + KW] * w[co, ci]).sum()
+    np.testing.assert_allclose(y.astype(np.float64), expect, atol=1e-3)

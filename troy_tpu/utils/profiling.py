@@ -1,118 +1,104 @@
-"""Lightweight op timing + tracing (the aux-subsystem the reference lacks).
+"""Profiling helpers: wall-clock accumulation and XLA trace capture.
 
-The reference's only instrumentation is benchmark Timer classes
-(reference: test/timetest.cu:16-60, binder/timetest.py:48-51). Here we
-provide a proper per-op timer registry plus a bridge to the JAX profiler
-for xprof traces.
-
-Respects the TPU measurement rules (.claude/skills/verify/SKILL.md):
-``OpTimer`` pipelines reps and blocks once, and never reads values back.
+The reference ships only benchmark Timer classes (reference:
+test/timetest.cu:16-60, test/app/linear.cu:8-49); on TPU the richer tool
+is the JAX profiler, whose traces (xprof) show every fused executable,
+HBM traffic, and collective. This module provides both: a Timer with the
+reference harness's tic/toc shape, and a trace context manager writing a
+TensorBoard-loadable profile.
 
 Usage:
-    from troy_tpu.utils.profiling import OpTimer, trace
+    from troy_tpu.utils.profiling import Timer, trace
 
-    timer = OpTimer()
-    with timer.measure("multiply"):      # single-shot wall time
-        out = step(...); block(out)
-    timer.bench("multiply", lambda: step(...), reps=100)   # pipelined
-    print(timer.report())
+    t = Timer()
+    with t.measure("multiply"):
+        out = ev.multiply(a, b)
+    print(t.report())
 
-    with trace("/tmp/xprof"):            # JAX profiler trace
-        step(...)
+    with trace("/tmp/troy_trace"):       # inspect with xprof/TensorBoard
+        run_pipeline()
 """
 
 from __future__ import annotations
 
 import contextlib
 import time
-from collections import defaultdict
-from dataclasses import dataclass, field
-from typing import Callable, Dict, List
+from typing import Dict, List, Optional
 
 
-def block(x):
-    """Wait for every array leaf of a pytree result."""
-    import jax
-    jax.tree.map(lambda a: a.block_until_ready()
-                 if hasattr(a, "block_until_ready") else a, x)
-    return x
+class Timer:
+    """Accumulating wall-clock timer (timetest.cu Timer analogue).
 
+    Blocks on JAX async dispatch only if the caller synchronizes; for
+    device work, call ``block_until_ready`` inside the measured region
+    (see .claude/skills/verify/SKILL.md on measurement discipline)."""
 
-@dataclass
-class OpStats:
-    total_s: float = 0.0
-    count: int = 0
-    best_s: float = float("inf")
-
-    @property
-    def mean_ms(self) -> float:
-        return self.total_s / max(self.count, 1) * 1e3
-
-    @property
-    def best_ms(self) -> float:
-        return 0.0 if self.best_s == float("inf") else self.best_s * 1e3
-
-
-@dataclass
-class OpTimer:
-    """Named wall-clock accumulator for HE ops."""
-
-    stats: Dict[str, OpStats] = field(
-        default_factory=lambda: defaultdict(OpStats))
+    def __init__(self):
+        self._acc: Dict[str, float] = {}
+        self._count: Dict[str, int] = {}
 
     @contextlib.contextmanager
     def measure(self, name: str):
         t0 = time.perf_counter()
-        yield
-        dt = time.perf_counter() - t0
-        s = self.stats[name]
-        s.total_s += dt
-        s.count += 1
-        s.best_s = min(s.best_s, dt)
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            self._acc[name] = self._acc.get(name, 0.0) + dt
+            self._count[name] = self._count.get(name, 0) + 1
 
-    def bench(self, name: str, fn: Callable[[], object], reps: int = 50,
-              warmup: int = 3) -> float:
-        """Pipelined benchmark: enqueue ``reps`` calls, block once.
-        Returns mean seconds per call and records it."""
-        out = fn()
-        block(out)
-        for _ in range(warmup):
-            out = fn()
-        block(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn()
-        block(out)
-        dt = (time.perf_counter() - t0) / reps
-        s = self.stats[name]
-        s.total_s += dt * reps
-        s.count += reps
-        s.best_s = min(s.best_s, dt)
-        return dt
+    def tick(self, name: str):
+        """Manual interval start (reference Timer::registerTimer+tick)."""
+        self._acc.setdefault(name, 0.0)
+        self._count.setdefault(name, 0)
+        self._tick_at = (name, time.perf_counter())
+
+    def tock(self, name: str):
+        tag, t0 = self._tick_at
+        if tag != name:
+            raise ValueError(f"tock({name}) without tick({name})")
+        self._acc[name] += time.perf_counter() - t0
+        self._count[name] += 1
+
+    def seconds(self, name: str) -> float:
+        return self._acc[name]
+
+    def mean_ms(self, name: str) -> float:
+        return 1e3 * self._acc[name] / max(1, self._count[name])
 
     def report(self) -> str:
-        lines: List[str] = [f"{'op':30s} {'mean ms':>10s} {'best ms':>10s} "
-                            f"{'count':>8s}"]
-        for name, s in sorted(self.stats.items()):
-            lines.append(f"{name:30s} {s.mean_ms:10.3f} {s.best_ms:10.3f} "
-                         f"{s.count:8d}")
+        lines = []
+        for name in self._acc:
+            lines.append(f"{name:28s} {self.mean_ms(name):10.3f} ms/op "
+                         f"x{self._count[name]}")
         return "\n".join(lines)
 
-    def reset(self):
-        self.stats.clear()
+    def clear(self):
+        self._acc.clear()
+        self._count.clear()
 
 
 @contextlib.contextmanager
-def trace(log_dir: str):
-    """JAX profiler trace context (view with xprof/tensorboard)."""
+def trace(log_dir: str, host_tracer_level: Optional[int] = None):
+    """Capture an XLA/TPU profile into ``log_dir`` (view with xprof or
+    TensorBoard's profile plugin). No-op fallback if the profiler is
+    unavailable on the backend."""
     import jax
-    with jax.profiler.trace(log_dir):
+    try:
+        if host_tracer_level is not None:
+            opts = jax.profiler.ProfileOptions()
+            opts.host_tracer_level = host_tracer_level
+            jax.profiler.start_trace(log_dir, profiler_options=opts)
+        else:
+            jax.profiler.start_trace(log_dir)
+        started = True
+    except Exception:
+        started = False
+    try:
         yield
-
-
-@contextlib.contextmanager
-def annotate(name: str):
-    """Named region inside a profiler trace."""
-    import jax
-    with jax.profiler.TraceAnnotation(name):
-        yield
+    finally:
+        if started:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass

@@ -173,3 +173,28 @@ def test_dp_limb_2d_mesh(setup):
     hlo = run.jitted.lower(d1, d2, *run.args).compile().as_text()
     assert re.search("all-reduce|all-to-all|collective-permute|all-gather",
                      hlo)
+
+
+def test_sharded_app_matmul(setup):
+    """BASELINE config 5: the LinearHelper matmul pipeline with its
+    batch-block tile axis sharded over the mesh; decrypts bit-exactly."""
+    from troy_tpu.app.linear import MatmulHelper
+    s = setup
+    t = s["t"]
+    B, I, O = 12, 4, 3
+    rng = np.random.default_rng(23)
+    x = rng.integers(0, t, size=(B, I), dtype=np.uint64)
+    w = rng.integers(0, t, size=(I, O), dtype=np.uint64)
+    helper = MatmulHelper(B, I, O, N, objective=0, pack_lwe=False)
+    x_ct = helper.encode_inputs(s["be"].encode_polynomial, x) \
+        .encrypt_symmetric(s["enc"])
+    w_pt = helper.encode_weights(s["be"].encode_polynomial, w)
+    blocks = len(x_ct.data)
+    n_dev = max(d for d in range(1, 9) if blocks % d == 0)
+    mesh = par.make_mesh(n_dev)
+    ev = T.Evaluator(s["ctx"])
+    y_ct = par.sharded_app_matmul(ev, helper, mesh, x_ct, w_pt)
+    y = helper.decrypt_outputs(s["be"].decode_polynomial, s["dec"], y_ct)
+    np.testing.assert_array_equal(
+        y.astype(object) % t,
+        (x.astype(object) @ w.astype(object)) % t)

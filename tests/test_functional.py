@@ -65,3 +65,34 @@ def test_functional_add_sub_negate(bfv):
     out = combo(ct1, ct2, ctx.first_context_data)
     got = be.decode(dec.decrypt(out))
     assert np.array_equal(got, (t - a) % t)
+
+
+def test_fused_rotate_square_pipeline(bfv):
+    """Deeper single-executable pipeline: rotate (Galois key-switch) then
+    square + relinearize, all under one jit with permutation tables and
+    keys as arguments."""
+    from troy_tpu.utils import galois as galois_util
+    ctx, kg = bfv
+    n = ctx.n
+    rlk = kg.create_relin_keys()
+    elt = galois_util.get_elt_from_step(n, 1)
+    gk = kg.create_galois_keys(elts=[elt])
+    enc = T.Encryptor(ctx, secret_key=kg.secret_key)
+    dec = T.Decryptor(ctx, kg.secret_key)
+    be = T.BatchEncoder(ctx)
+    t = int(ctx.first_context_data.plain_modulus)
+    a = np.arange(n, dtype=np.uint64) % t
+    ct = enc.encrypt_symmetric(be.encode(a))
+    src, keep = galois_util.coeff_permutation_dev(n, elt)
+
+    @jax.jit
+    def step(c, src, keep, gkey, rk2, cd, key_cd):
+        rot = F.apply_galois_coeff(c, src, keep, gkey, cd, key_cd)
+        return F.relinearize(F.square(rot, cd), (rk2,), cd, key_cd)
+
+    out = step(ct, src, keep, gk.keys[elt], rlk.keys[2],
+               ctx.first_context_data, ctx.key_context_data)
+    got = be.decode(dec.decrypt(out)).astype(object)
+    half = n // 2
+    rotated = np.concatenate([np.roll(a[:half], -1), np.roll(a[half:], -1)])
+    np.testing.assert_array_equal(got, rotated.astype(object) ** 2 % t)

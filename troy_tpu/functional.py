@@ -129,9 +129,26 @@ def apply_galois(ct: Ciphertext, perm: jnp.ndarray, key: jnp.ndarray,
     Galois key array. Coefficient-form ciphertexts should use the class
     API (its signed permutation is host-prepared)."""
     if not ct.is_ntt_form:
-        raise ValueError("functional apply_galois expects NTT form")
+        raise ValueError("functional apply_galois expects NTT form "
+                         "(use apply_galois_coeff)")
     c0 = _ev._apply_permutation(ct.data[0], perm)
     c1 = _ev._apply_permutation(ct.data[1], perm)
     delta = _ev._switch_key_core(c1, key, cd, key_cd, True)
+    c0 = _ev._add(c0[None], delta[0][None], cd)[0]
+    return ct.replace(data=jnp.stack([c0, delta[1]]), seed=0)
+
+
+def apply_galois_coeff(ct: Ciphertext, src: jnp.ndarray,
+                       keep_sign: jnp.ndarray, key: jnp.ndarray,
+                       cd: ContextData, key_cd: ContextData) -> Ciphertext:
+    """Coefficient-form Galois application: signed permutation tables from
+    ``troy_tpu.utils.galois.coeff_permutation_dev`` plus the element's
+    dense Galois key."""
+    if ct.is_ntt_form:
+        raise ValueError("functional apply_galois_coeff expects "
+                         "coefficient form (use apply_galois)")
+    c0 = _ev._apply_permutation_signed(ct.data[0], src, keep_sign, cd)
+    c1 = _ev._apply_permutation_signed(ct.data[1], src, keep_sign, cd)
+    delta = _ev._switch_key_core(c1, key, cd, key_cd, False)
     c0 = _ev._add(c0[None], delta[0][None], cd)[0]
     return ct.replace(data=jnp.stack([c0, delta[1]]), seed=0)

@@ -366,3 +366,21 @@ def test_host_sampling_keygen_reproduces_reference_keys(ctx, ops):
     gk = kg.create_galois_keys(elts=[3])
     np.testing.assert_array_equal(np.asarray(gk.keys[3]),
                                   np.asarray(ops["gk3"].keys[3]))
+
+
+def test_noise_budget_matches_reference(vec, ctx):
+    """invariant_noise_budget equals the reference's exact value on the
+    same seeded ciphertext (decryptor.cpp:373-441: fresh 58 bits,
+    post-square 37 bits for this configuration)."""
+    from troy_tpu import prng as rnd
+    kg = T.KeyGenerator(ctx, seed=rnd.seed_from_uint64(42),
+                        host_sampling=True)
+    enc = T.Encryptor(ctx, secret_key=kg.secret_key,
+                      seed=rnd.seed_from_uint64(42), host_sampling=True)
+    be = T.BatchEncoder(ctx)
+    dec = T.Decryptor(ctx, kg.secret_key)
+    ev = T.Evaluator(ctx)
+    v = np.array([i % 97 for i in range(N)], dtype=np.uint64)
+    ct = enc.encrypt_symmetric(be.encode(v))
+    assert dec.invariant_noise_budget(ct) == 58
+    assert dec.invariant_noise_budget(ev.square(ct)) == 37

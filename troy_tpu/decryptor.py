@@ -185,5 +185,7 @@ class Decryptor:
         v = acc * t % Q
         v = np.minimum(v, Q - v)
         norm = int(v.max())
-        budget = (Q // 2).bit_length() - (2 * norm).bit_length()
+        # bits(Q) - bits(norm) - 1; the -1 scales the invariant noise by 2
+        # (decryptor.cpp:439-441 invariantNoiseBudget)
+        budget = Q.bit_length() - norm.bit_length() - 1
         return max(budget, 0)

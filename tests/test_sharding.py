@@ -193,7 +193,7 @@ def test_sharded_app_matmul(setup):
     n_dev = max(d for d in range(1, 9) if blocks % d == 0)
     mesh = par.make_mesh(n_dev)
     ev = T.Evaluator(s["ctx"])
-    y_ct = par.sharded_app_matmul(ev, helper, mesh, x_ct, w_pt)
+    y_ct = par.sharded_app_matmul(ev, mesh, x_ct, w_pt)
     y = helper.decrypt_outputs(s["be"].decode_polynomial, s["dec"], y_ct)
     np.testing.assert_array_equal(
         y.astype(object) % t,

@@ -134,14 +134,20 @@ def _run_cipher_contraction(ev: Evaluator, a2d: "Cipher2d", w2d: "Cipher2d",
 
 def _run_tile_contraction(ev: Evaluator, ct2d: "Cipher2d", pt2d: "Plain2d",
                           transpose_ct: bool, transpose_pt: bool,
-                          transpose_out: bool) -> "Cipher2d":
-    """Stack a Cipher2d x Plain2d tile grid, contract on device, unpack."""
+                          transpose_out: bool,
+                          ct_sharding=None) -> "Cipher2d":
+    """Stack a Cipher2d x Plain2d tile grid, contract on device, unpack.
+    ct_sharding optionally places the stacked ciphertext tiles (e.g. a
+    NamedSharding over the batch-block axis) before the contraction, so a
+    device mesh partitions the fan-out (parallel.sharding wraps this)."""
     template = ct2d.data[0][0]
     cd = ev.context.get_context_data(template.level)
     ct_tiles = jnp.stack([jnp.stack([ct.data for ct in row])
                           for row in ct2d.data])
     if transpose_ct:
         ct_tiles = jnp.swapaxes(ct_tiles, 0, 1)
+    if ct_sharding is not None:
+        ct_tiles = jax.device_put(ct_tiles, ct_sharding)
     pt_tiles = jnp.stack([jnp.stack([p.data for p in row])
                           for row in pt2d.data])
     if transpose_pt:

@@ -114,9 +114,13 @@ class Encryptor:
         All plaintexts must share a representation/level."""
         import jax
         import jax.numpy as jnp
-        from .ops import poly as dpoly
-        from .ops import ntt as dntt
 
+        if self._host_sampling:
+            # the reference-interop path has no batched equivalent (each
+            # ciphertext replays the seed stream); encrypt one by one
+            return [self._encrypt_internal(p, asymmetric=False,
+                                           save_seed=save_seed)
+                    for p in plains]
         plains = list(plains)
         if not plains:
             return []
@@ -136,22 +140,10 @@ class Encryptor:
 
         m = jnp.stack([self._pad(p.data, cd.n) if not p.is_ntt_form
                        else p.data for p in plains])
-        if scheme == SchemeType.bfv:
-            c0 = jax.vmap(lambda c, mm: dpoly.bfv_multiply_add_plain(
-                mm, c, int(cd.plain_modulus),
-                cd.coeff_modulus_mod_plain_modulus,
-                cd.coeff_div_plain_modulus, cd.ntt))(zeros[:, 0], m)
-        elif scheme == SchemeType.ckks:
-            c0 = jax.vmap(lambda c, mm: dpoly.rns_add(c, mm, cd.ntt))(
-                zeros[:, 0], m)
-        else:  # bgv
-            def one(c, mm):
-                lifted = dpoly.plain_lift(
-                    mm, cd.ntt, int(cd.plain_modulus),
-                    cd.plain_upper_half_threshold, cd.total_coeff_modulus)
-                return dpoly.rns_add(
-                    c, dntt.rns_ntt_forward(lifted, cd.ntt), cd.ntt)
-            c0 = jax.vmap(one)(zeros[:, 0], m)
+        # shared embed (same code path as single encryption, so the BGV
+        # raw-residue semantics cannot drift between the two APIs)
+        c0 = jax.vmap(lambda c, mm: _embed_plain_c0(mm, c, cd))(
+            zeros[:, 0], m)
         data = zeros.at[:, 0].set(c0)
         scale = plains[0].scale if scheme == SchemeType.ckks else 1.0
         return [Ciphertext(data=data[i], level=cd.chain_index,
@@ -227,6 +219,13 @@ class Encryptor:
         elif self._host_sampling:
             if self._sk is None:
                 raise ValueError("no secret key set")
+            if save_seed:
+                # the reference's host path hardcodes save_seed=false too
+                # (rlwe.cpp:138); refusing beats silently writing the
+                # full-size serialization the caller did not ask for
+                raise ValueError("save_seed is not supported with "
+                                 "host_sampling (c1 is not seed-expanded "
+                                 "on this path)")
             zero = rlwe.encrypt_zero_symmetric_reference(
                 cd, self._sk, self._prng, is_ntt)
             data = _embed_into_zero(zero.data, m, cd)

@@ -190,8 +190,7 @@ def dp_limb_sharded_multiply_relin(context: HeContext,
     return run
 
 
-def sharded_app_matmul(ev, helper, mesh: Mesh, a2d, w2d,
-                       axis_name: str = "dp"):
+def sharded_app_matmul(ev, mesh: Mesh, a2d, w2d, axis_name: str = "dp"):
     """The app-layer coefficient-packed matmul with its batch-block tile
     axis sharded over the mesh (BASELINE config 5: the LinearHelper
     pipeline across chips/hosts). Each device holds a slice of the input
@@ -200,28 +199,13 @@ def sharded_app_matmul(ev, helper, mesh: Mesh, a2d, w2d,
 
     a2d: Cipher2d from helper.encrypt_inputs (batch-block rows);
     w2d: Plain2d from helper.encode_weights. Returns a Cipher2d with the
-    same layout as helper.matmul."""
-    import jax.numpy as jnp
+    same layout as helper.matmul (same contraction code path)."""
     from ..app import linear as lin
 
-    template = a2d.data[0][0]
-    cd = ev.context.get_context_data(template.level)
-    ct_tiles = jnp.stack([jnp.stack([ct.data for ct in row])
-                          for row in a2d.data])
-    pt_tiles = jnp.stack([jnp.stack([p.data for p in row])
-                          for row in w2d.data])
-    pt0 = w2d.data[0][0]
-    x_spec = NamedSharding(
-        mesh, P(axis_name, *([None] * (ct_tiles.ndim - 1))))
-    ct_tiles = jax.device_put(ct_tiles, x_spec)
-    out = lin._matmul_tiles_core(ct_tiles, pt_tiles, cd,
-                                 not template.is_ntt_form,
-                                 not pt0.is_ntt_form)
-    scale = template.scale * pt0.scale if pt0.is_ntt_form else template.scale
-    return lin.Cipher2d(
-        [[template.replace(data=out[x, y], scale=scale, seed=0)
-          for y in range(out.shape[1])]
-         for x in range(out.shape[0])])
+    spec = NamedSharding(mesh, P(axis_name, None, None, None, None))
+    return lin._run_tile_contraction(ev, a2d, w2d, transpose_ct=False,
+                                     transpose_pt=False, transpose_out=False,
+                                     ct_sharding=spec)
 
 
 def coeff_sharded_multiply_relin(context: HeContext, relin_keys: RelinKeys,

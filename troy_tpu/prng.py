@@ -241,12 +241,22 @@ def sample_poly_ternary(prng: UniformRandomGenerator, n: int) -> np.ndarray:
     rejected, result = draw / 0x55555555 (the libstdc++ downscaling)."""
     scaling = 0xFFFFFFFF // 3                 # 1431655765
     past = 3 * scaling                        # 4294967295: only max rejected
+    draws = np.frombuffer(prng.generate(4 * n), dtype="<u4")
+    if not (draws == np.uint32(past)).any():
+        # vectorized fast path (rejection probability is n * 2^-32)
+        return (draws // np.uint32(scaling)).astype(np.int64) - 1
+    # exact sequential replay: on a rejection the reference takes the NEXT
+    # u32 for the same coefficient, shifting every later draw by one. The
+    # byte stream is chunking-invariant, so treat the prefetched block as
+    # a FIFO and extend it one u32 at a time as the reference would.
+    queue = list(draws)
     out = np.empty(n, dtype=np.int64)
-    draws = np.frombuffer(prng.generate(4 * n), dtype="<u4").astype(np.int64)
     for i in range(n):
-        r = draws[i]
-        while r >= past:
-            r = _struct.unpack("<I", prng.generate(4))[0]
+        while True:
+            r = queue.pop(0) if queue \
+                else _struct.unpack("<I", prng.generate(4))[0]
+            if r < past:
+                break
         out[i] = r // scaling
     return out - 1   # {0,1,2} -> {-1,0,1}
 

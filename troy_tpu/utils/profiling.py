@@ -36,6 +36,7 @@ class Timer:
     def __init__(self):
         self._acc: Dict[str, float] = {}
         self._count: Dict[str, int] = {}
+        self._tick_at = None
 
     @contextlib.contextmanager
     def measure(self, name: str):
@@ -54,9 +55,12 @@ class Timer:
         self._tick_at = (name, time.perf_counter())
 
     def tock(self, name: str):
+        if self._tick_at is None:
+            raise ValueError(f"tock({name}) without tick({name})")
         tag, t0 = self._tick_at
         if tag != name:
             raise ValueError(f"tock({name}) without tick({name})")
+        self._tick_at = None
         self._acc[name] += time.perf_counter() - t0
         self._count[name] += 1
 

@@ -44,7 +44,7 @@ def test_ckks_matmul(ckks):
     assert np.allclose(got, x @ w, atol=1e-3)
 
 
-def test_ckks_conv2d(ckks):
+def test_ckks_conv2d_basic(ckks):
     ctx, enc, dec, ev, encd = ckks
     B, H, W_, KH, KW, CI, CO = 1, 4, 4, 3, 3, 2, 2
     rng = np.random.default_rng(8)

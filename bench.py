@@ -8,6 +8,20 @@ approximates troy's published-hardware-class (A100) mult+relin latency of
 ~2 ms/op (the reference publishes no numbers — BASELINE.md; this constant
 is our standing target, kept fixed across rounds so the ratio is
 comparable).
+
+Methodology note: the headline is the SINGLE fused op in a pipelined
+chained loop (out feeds the next input), block_until_ready once per
+window, best of 3 windows — the only shape of measurement the axon test
+harness reports faithfully. We deliberately do NOT report a
+vmapped-batch throughput: through this harness, chained batched steps
+"complete" in less time than the chip's int8 peak allows (measured
+x16-batch at 0.12 ms/step = 20x over v5e peak for the program's 512 G
+int8 MACs), because the tunnel's cassette speculator acknowledges
+dispatches without executing them; forcing materialization with a
+scalar readback shows the drain is transfer-bound (~1 s/op re-upload),
+which measures the tunnel, not the TPU. The single-op figure below is
+consistent with the MXU roofline for the program (~0.16 ms of int8
+matmuls at peak) and is the defensible per-chip number.
 """
 
 import json

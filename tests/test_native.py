@@ -60,3 +60,63 @@ def test_crt_compose_matches_object_math():
     acc %= Q
     acc = np.where(acc > Q // 2, acc - Q, acc)
     np.testing.assert_allclose(got, acc.astype(np.float64), rtol=1e-12)
+
+
+def test_ntt_tables_fill_matches_python_loop():
+    # oracle: the pure-Python loop from utils/ntt_tables.py
+    for n, bits in ((256, 60), (64, 30)):
+        q = numth.get_prime(2 * n, bits)
+        root = numth.minimal_primitive_root(2 * n, q)
+        inv_root = numth.invert_mod(root, q)
+        log_n = numth.get_power_of_two(n)
+        powers = [0] * n
+        inv_powers = [0] * n
+        acc = inv_acc = 1
+        for k in range(n):
+            b = numth.reverse_bits(k, log_n)
+            powers[b] = acc
+            inv_powers[b] = inv_acc
+            acc = (acc * root) % q
+            inv_acc = (inv_acc * inv_root) % q
+        shoup = lambda w: (w << 64) // q
+        p_np, ps_np, ip_np, ips_np = native.ntt_tables_fill(
+            n, q, root, inv_root)
+        to64 = lambda vals: np.array(
+            [v & 0xFFFFFFFFFFFFFFFF for v in vals], dtype=np.uint64)
+        np.testing.assert_array_equal(p_np, to64(powers))
+        np.testing.assert_array_equal(ps_np, to64([shoup(p) for p in powers]))
+        np.testing.assert_array_equal(ip_np, to64(inv_powers))
+        np.testing.assert_array_equal(
+            ips_np, to64([shoup(p) for p in inv_powers]))
+
+
+def test_mxu_tables_fill_matches_python_oracle():
+    from troy_tpu.ops import ntt_mxu
+    for n, bits in ((256, 60), (1024, 40)):
+        q = numth.get_prime(2 * n, bits)
+        A, B, w1, tw, w2, v1, itw, v2 = ntt_mxu.make_mxu_tables_host(n, q)
+        psi = numth.minimal_primitive_root(2 * n, q)
+        nat = native.mxu_tables_fill(n, A, B, q, psi)
+        assert nat is not None
+        names = ["w1", "tw", "w2", "v1", "itw", "v2"]
+        shoup = np.vectorize(lambda w: ((int(w) << 64) // q)
+                             & 0xFFFFFFFFFFFFFFFF, otypes=[object])
+        to64 = lambda m: np.array(
+            [[int(x) & 0xFFFFFFFFFFFFFFFF for x in row] for row in m],
+            dtype=np.uint64)
+        for name, py, nt in zip(names, (w1, tw, w2, v1, itw, v2), nat[:6]):
+            np.testing.assert_array_equal(nt, to64(py), err_msg=name)
+        np.testing.assert_array_equal(nat[6], to64(shoup(tw)), err_msg="tws")
+        np.testing.assert_array_equal(nat[7], to64(shoup(itw)), err_msg="itws")
+
+
+def test_signed_digits_fill_matches_python():
+    from troy_tpu.ops.ntt_mxu import _signed_digits_host
+    rng = np.random.default_rng(5)
+    mat = rng.integers(0, 1 << 61, (17, 23), dtype=np.uint64)
+    py = _signed_digits_host(mat)
+    nat = native.signed_digits_fill(mat)
+    np.testing.assert_array_equal(nat, py)
+    # reconstruction check: sum of planes recovers the values
+    rec = sum(nat[d].astype(object) * (1 << (8 * d)) for d in range(8))
+    np.testing.assert_array_equal(rec.astype(np.uint64), mat)

@@ -46,6 +46,14 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_uint64,
             ctypes.c_double, ctypes.c_void_p]
+        lib.ntt_tables_fill.argtypes = [
+            ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_uint64] + [ctypes.c_void_p] * 4
+        lib.mxu_tables_fill.argtypes = [
+            ctypes.c_uint64, ctypes.c_uint64, ctypes.c_uint64,
+            ctypes.c_uint64, ctypes.c_uint64] + [ctypes.c_void_p] * 8
+        lib.signed_digits_fill.argtypes = [
+            ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p]
         return lib
     except Exception:
         return None
@@ -71,6 +79,43 @@ def xof_fill(seed: bytes, counter0: int, nbytes: int) -> Optional[bytes]:
     out = np.empty(nbytes, dtype=np.uint8)
     lib.xof_fill(seed, counter0, out.ctypes.data, nbytes)
     return out.tobytes()
+
+
+def ntt_tables_fill(n: int, q: int, root: int, inv_root: int):
+    """Bit-reversed root-power tables + Shoup quotients; None if no lib.
+    Returns (powers, powers_shoup, inv_powers, inv_powers_shoup) u64[n]."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    arrs = [np.empty(n, dtype=np.uint64) for _ in range(4)]
+    lib.ntt_tables_fill(n, q, root, inv_root,
+                        *(a.ctypes.data for a in arrs))
+    return tuple(arrs)
+
+
+def mxu_tables_fill(n: int, a: int, b: int, q: int, psi: int):
+    """4-step factor matrices for n = a*b; None if no lib. Returns
+    (w1, tw, w2, v1, itw, v2, tw_shoup, itw_shoup) u64 row-major."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    shapes = [(a, a), (a, b), (b, b), (a, a), (a, b), (b, b), (a, b), (a, b)]
+    arrs = [np.empty(s, dtype=np.uint64) for s in shapes]
+    lib.mxu_tables_fill(n, a, b, q, psi,
+                        *(x.ctypes.data for x in arrs))
+    return tuple(arrs)
+
+
+def signed_digits_fill(mat: np.ndarray):
+    """u64 array -> (8,) + mat.shape int8 signed radix-256 planes; None if
+    no lib. Caller guarantees values < 2^63."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    mat = np.ascontiguousarray(mat, dtype=np.uint64)
+    out = np.empty((8,) + mat.shape, dtype=np.int8)
+    lib.signed_digits_fill(mat.ctypes.data, mat.size, out.ctypes.data)
+    return out
 
 
 def crt_compose_centered_double(residues: np.ndarray, moduli, inv_punctured,

@@ -33,6 +33,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from . import u64ops as u
+from .. import native
 from ..utils import numth
 
 U64 = jnp.uint64
@@ -134,7 +135,26 @@ def make_mxu_tables_host(n: int, q: int):
 @lru_cache(maxsize=None)
 def make_mxu_tables(n: int, q: int) -> MxuNttTables:
     """Cached per (n, q): chain levels share primes, so the digit planes
-    and twiddles convert + upload exactly once per prime."""
+    and twiddles convert + upload exactly once per prime. Uses the native
+    precompute engine when available (bit-exact with the Python oracle —
+    tests/test_native.py); falls back to make_mxu_tables_host."""
+    A, B = _split_factors(n)
+    psi = numth.minimal_primitive_root(2 * n, q)
+    filled = native.mxu_tables_fill(n, A, B, q, psi)
+    if filled is not None:
+        w1, tw, w2, v1, itw, v2, tw_shoup, itw_shoup = filled
+        digits = lambda m: jnp.asarray(native.signed_digits_fill(m))
+        return MxuNttTables(
+            w1_digits=digits(w1),
+            w2_digits=digits(w2),
+            tw=jnp.asarray(tw),
+            tw_shoup=jnp.asarray(tw_shoup),
+            iw1_digits=digits(v1),
+            iw2_digits=digits(v2),
+            itw=jnp.asarray(itw),
+            itw_shoup=jnp.asarray(itw_shoup),
+            n=n, a=A, b=B, modulus=q,
+        )
     A, B, w1, tw, w2, v1, itw, v2 = make_mxu_tables_host(n, q)
     shoup = np.vectorize(lambda w: (int(w) << 64) // q, otypes=[object])
     as_u64 = lambda m: jnp.asarray(

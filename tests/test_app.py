@@ -214,3 +214,24 @@ def test_conv2d_cipher_weights(bfv):
                                     * w[co, ci].astype(object)).sum())
                     expect[b, co, i, j] = acc % t
     np.testing.assert_array_equal(y.astype(object) % t, expect)
+
+
+def test_matmul_block_search_matches_reference():
+    """Tiling choices pinned against a verbatim transcription of the
+    reference's determineBlock (app/LinearHelper.cuh:242-307), including
+    its pow(slotCount, 0.33) cube-root approximation — so ciphertext
+    counts (the protocol's bandwidth) match the reference exactly."""
+    cases = {
+        (64, 128, 256, 16384, 0, True): (64, 16, 16),
+        (64, 128, 256, 16384, 1, True): (4, 16, 256),
+        (64, 128, 256, 16384, 2, True): (16, 16, 64),
+        (64, 128, 256, 16384, 0, False): (64, 8, 32),
+        (4, 5, 6, 64, 0, False): (4, 5, 3),
+        (2, 4, 5, 64, 0, True): (2, 2, 5),
+        (128, 500, 1001, 16384, 1, False): (2, 8, 1001),
+        (1, 2048, 1001, 8192, 0, True): (1, 16, 512),
+    }
+    for (bs, ind, outd, slots, obj, pl), expect in cases.items():
+        h = MatmulHelper(bs, ind, outd, slots, objective=obj, pack_lwe=pl)
+        assert (h.batch_block, h.input_block, h.output_block) == expect, \
+            (bs, ind, outd, slots, obj, pl)

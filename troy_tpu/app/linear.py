@@ -344,7 +344,10 @@ class MatmulHelper:
                     if c < c_best:
                         best, c_best = (b, i, o), c
         else:
-            cube = slots ** (1.0 / 3.0)
+            # the reference uses pow(slotCount, 0.33), not an exact cube
+            # root (LinearHelper.cuh:271) — mirror it so block choices and
+            # therefore ciphertext counts match exactly
+            cube = slots ** 0.33
             i = 1
             while i * 2 < cube:
                 i *= 2

@@ -235,3 +235,21 @@ def test_matmul_block_search_matches_reference():
         h = MatmulHelper(bs, ind, outd, slots, objective=obj, pack_lwe=pl)
         assert (h.batch_block, h.input_block, h.output_block) == expect, \
             (bs, ind, outd, slots, obj, pl)
+
+
+def test_conv2d_block_search_matches_reference():
+    """Conv tiling pinned against a verbatim transcription of the
+    reference's 5-dim search (app/LinearHelper.cuh:786-845), including
+    the commented conv benchmark config 1x64x256x56x56 k3."""
+    cases = {
+        (1, 56, 56, 3, 3, 64, 256, 16384, 0): (1, 56, 56, 1, 5),
+        (1, 56, 56, 3, 3, 64, 256, 16384, 1): (1, 8, 8, 1, 256),
+        (4, 16, 16, 5, 5, 3, 8, 4096, 0): (4, 16, 16, 1, 4),
+        (1, 4, 4, 3, 3, 2, 2, 64, 0): (1, 4, 4, 2, 2),
+        (2, 8, 8, 2, 2, 4, 4, 256, 2): (1, 8, 8, 2, 2),
+    }
+    for (bs, H, W, kh, kw, ci, co, slots, obj), expect in cases.items():
+        h = Conv2dHelper(bs, H, W, kh, kw, ci, co, slots, objective=obj)
+        got = (h.block_batch, h.block_height, h.block_width,
+               h.block_in_channels, h.block_out_channels)
+        assert got == expect, (bs, H, W, kh, kw, ci, co, slots, obj)

@@ -92,7 +92,9 @@ def test_ntt_tables_fill_matches_python_loop():
 
 def test_mxu_tables_fill_matches_python_oracle():
     from troy_tpu.ops import ntt_mxu
-    for n, bits in ((256, 60), (1024, 40)):
+    # includes an odd-log2(n) case where A = 2B (rectangular split):
+    # w1/tw/w2 row-column mixups are only distinguishable there
+    for n, bits in ((256, 60), (1024, 40), (512, 50)):
         q = numth.get_prime(2 * n, bits)
         A, B, w1, tw, w2, v1, itw, v2 = ntt_mxu.make_mxu_tables_host(n, q)
         psi = numth.minimal_primitive_root(2 * n, q)
@@ -120,3 +122,11 @@ def test_signed_digits_fill_matches_python():
     # reconstruction check: sum of planes recovers the values
     rec = sum(nat[d].astype(object) * (1 << (8 * d)) for d in range(8))
     np.testing.assert_array_equal(rec.astype(np.uint64), mat)
+
+
+def test_signed_digits_fill_rejects_overflow():
+    # 2^63 - 1 needs a 9th digit; the Python oracle asserts, the native
+    # path must raise rather than silently corrupt the planes
+    bad = np.array([[np.uint64(2**63 - 1)]], dtype=np.uint64)
+    with pytest.raises(ValueError):
+        native.signed_digits_fill(bad)

@@ -54,6 +54,7 @@ def _build() -> Optional[ctypes.CDLL]:
             ctypes.c_uint64, ctypes.c_uint64] + [ctypes.c_void_p] * 8
         lib.signed_digits_fill.argtypes = [
             ctypes.c_void_p, ctypes.c_uint64, ctypes.c_void_p]
+        lib.signed_digits_fill.restype = ctypes.c_int
         return lib
     except Exception:
         return None
@@ -108,13 +109,16 @@ def mxu_tables_fill(n: int, a: int, b: int, q: int, psi: int):
 
 def signed_digits_fill(mat: np.ndarray):
     """u64 array -> (8,) + mat.shape int8 signed radix-256 planes; None if
-    no lib. Caller guarantees values < 2^63."""
+    no lib. Raises on values needing a 9th digit (the representable range
+    is (-2^63, 2^63 - 2^55 + 2^54...] in practice; all real inputs are
+    residues < q < 2^61), matching the Python oracle's assertion."""
     lib = get_lib()
     if lib is None:
         return None
     mat = np.ascontiguousarray(mat, dtype=np.uint64)
     out = np.empty((8,) + mat.shape, dtype=np.int8)
-    lib.signed_digits_fill(mat.ctypes.data, mat.size, out.ctypes.data)
+    if lib.signed_digits_fill(mat.ctypes.data, mat.size, out.ctypes.data):
+        raise ValueError("value exceeded the signed 8-digit range")
     return out
 
 

@@ -421,8 +421,11 @@ void mxu_tables_fill(uint64_t n, uint64_t A, uint64_t B, uint64_t q,
 
 // Signed radix-256 digit planes (ops/ntt_mxu.py _signed_digits_host):
 // out[d*count + i] = digit d of mat[i], digits in [-128, 127].
-// Caller guarantees values < 2^63 (all inputs are residues < q < 2^61).
-void signed_digits_fill(const uint64_t* mat, uint64_t count, int8_t* out) {
+// Returns 0 on success, 1 if any value needs a 9th digit (a final carry
+// out of digit 7, i.e. value >= 0x7F80...80 territory) — mirroring the
+// Python oracle's assertion instead of silently corrupting planes.
+int signed_digits_fill(const uint64_t* mat, uint64_t count, int8_t* out) {
+    int overflow = 0;
     for (uint64_t i = 0; i < count; i++) {
         uint64_t rem = mat[i];
         int carry = 0;
@@ -433,7 +436,9 @@ void signed_digits_fill(const uint64_t* mat, uint64_t count, int8_t* out) {
             out[(uint64_t)d * count + i] = (int8_t)v;
             rem >>= 8;
         }
+        overflow |= carry;
     }
+    return overflow;
 }
 
 }  // extern "C"

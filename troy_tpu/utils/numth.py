@@ -10,6 +10,7 @@ host; nothing in this module is traced by JAX.
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import List, Tuple
 
 # Deterministic Miller-Rabin witness set: provably correct for all n < 3.3e24,
@@ -157,7 +158,11 @@ def try_minimal_primitive_root(degree: int, modulus: int) -> Tuple[bool, int]:
     return True, best
 
 
+@lru_cache(maxsize=None)
 def minimal_primitive_root(degree: int, modulus: int) -> int:
+    # deterministic per (degree, modulus); cached because context/NTT/MXU
+    # table construction each ask for the same root (the search walks
+    # degree/2 modmuls in Python)
     ok, r = try_minimal_primitive_root(degree, modulus)
     if not ok:
         raise ValueError(f"no primitive {degree}-th root mod {modulus}")

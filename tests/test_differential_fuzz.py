@@ -192,3 +192,58 @@ def test_ckks_random_sequences(fuzz_seed):
         assert np.allclose(got, model, atol=1e-3), \
             f"ckks fuzz seed {fuzz_seed} diverged at step {step_i} ({op}): " \
             f"max err {np.abs(got - model).max()}"
+
+
+def test_bfv_mxu_path_random_sequence():
+    """Same fuzz over the MXU 4-step NTT path (n=2048 >= MXU_MIN_N, the
+    production kernel; native-filled digit planes when the toolchain is
+    present)."""
+    n = 2048
+    parms = T.EncryptionParameters(
+        scheme=T.SchemeType.bfv, poly_modulus_degree=n,
+        coeff_modulus=tuple(T.CoeffModulus.create(n, [50, 40, 50])),
+        plain_modulus=T.PlainModulus.batching(n, 18))
+    ctx = T.HeContext(parms, sec_level=T.SecurityLevel.none)
+    assert ctx.first_context_data.ntt.mxu is not None
+    kg = T.KeyGenerator(ctx, seed=rnd.seed_from_uint64(2048))
+    t = int(ctx.first_context_data.plain_modulus)
+    rlk = kg.create_relin_keys()
+    glk = kg.create_galois_keys(steps=[1, -1])
+    enc = T.Encryptor(ctx, secret_key=kg.secret_key)
+    dec = T.Decryptor(ctx, kg.secret_key)
+    be = T.BatchEncoder(ctx)
+    ev = T.Evaluator(ctx)
+    rng = np.random.default_rng(77)
+    half = n // 2
+
+    a = rng.integers(0, t, n, dtype=np.uint64)
+    ct = enc.encrypt_symmetric(be.encode(a))
+    model = a.astype(object)
+    mults_left = 1
+    for step_i in range(6):
+        op = ["add_plain", "multiply_plain", "square",
+              "rotate_rows", "negate"][rng.integers(5)]
+        p = rng.integers(0, t, n, dtype=np.uint64)
+        if op == "add_plain":
+            ct = ev.add_plain(ct, be.encode(p))
+            model = (model + p.astype(object)) % t
+        elif op == "multiply_plain":
+            ct = ev.multiply_plain(ct, be.encode(p))
+            model = (model * p.astype(object)) % t
+        elif op == "square" and mults_left > 0:
+            ct = ev.relinearize(ev.square(ct), rlk)
+            model = (model * model) % t
+            mults_left -= 1
+        elif op == "rotate_rows":
+            s = int(rng.choice([-1, 1]))
+            ct = ev.rotate_rows(ct, s, glk)
+            model = np.concatenate([np.roll(model[:half], -s),
+                                    np.roll(model[half:], -s)])
+        elif op == "negate":
+            ct = ev.negate(ct)
+            model = (-model) % t
+        if dec.invariant_noise_budget(ct) <= 0:
+            break
+        got = be.decode(dec.decrypt(ct)).astype(object)
+        assert np.array_equal(got, model % t), \
+            f"mxu fuzz diverged at step {step_i} ({op})"

@@ -294,3 +294,29 @@ def test_bgv_compat_roundtrip():
     assert c3.correction_factor() == c1.correction_factor()
     got = be.decode(dec.decrypt(c3))
     assert np.array_equal(got, a * b % t)
+
+
+def test_binder_metadata_surface():
+    """ContextData::parms, ParmsID::vec, Smoke (binder.cu:33-39,147-151,
+    186-193, 211): the remaining metadata accessors of the binder."""
+    pytroy.Smoke()          # constructible with and without the int arg
+    pytroy.Smoke(3)
+
+    parms = _params(pytroy.SchemeType.bfv)
+    ctx = pytroy.SEALContext(parms, True, pytroy.SecurityLevel.none)
+
+    # ParmsID is bytes-compatible and exposes the four 64-bit words
+    # (the reference binder's vec() is buggy and returns []; ours is real).
+    pid = parms.parms_id()
+    assert isinstance(pid, bytes) and len(pid) == 32
+    words = pid.vec()
+    assert len(words) == 4
+    assert pid == ctx.key_parms_id()
+    assert ctx.first_parms_id().vec() != words  # data level dropped a prime
+
+    # ContextData::parms rebuilds the level's EncryptionParameters.
+    kcd = ctx.key_context_data()
+    assert kcd.parms().parms_id() == pid
+    fcd = ctx.first_context_data()
+    assert len(fcd.parms().coeff_modulus()) == len(Q_BITS) - 1
+    assert fcd.parms().parms_id() == ctx.first_parms_id()

@@ -34,6 +34,30 @@ def initialize_kernel():
     XLA owns device initialization."""
 
 
+class Smoke:
+    """Binder smoke-test class (binder.cu:33-39, bound at :147-151)."""
+
+    def __init__(self, i: int = 19991111):
+        self.t = int(i)
+
+    def hello(self):
+        print(f"Hello I am Smoking ... {self.t}")
+
+
+class ParmsID(bytes):
+    """32-byte blake2b-256 parameter hash (binder.cu ParmsID, :186-193).
+
+    Compares equal to the plain ``bytes`` digest. ``vec()`` returns the
+    four little-endian 64-bit words; the reference binder's lambda loops
+    ``i < ret.size()`` after a ``reserve`` (binder.cu:188-192), so it
+    always returns an empty list — we return the actual words.
+    """
+
+    def vec(self) -> List[int]:
+        import struct
+        return list(struct.unpack("<4Q", self))
+
+
 class CoeffModulus:
     @staticmethod
     def max_bit_count(poly_modulus_degree: int,
@@ -92,7 +116,17 @@ class EncryptionParameters:
             coeff_modulus=tuple(self._coeff), plain_modulus=self._plain)
 
     def parms_id(self):
-        return self._freeze().parms_id
+        return ParmsID(self._freeze().parms_id)
+
+
+def _rebuild_parms(inner_parms) -> "EncryptionParameters":
+    """Inner (frozen) params -> mutable compat builder
+    (ContextData::parms, binder.cu:211)."""
+    p = EncryptionParameters(inner_parms.scheme)
+    p.set_poly_modulus_degree(inner_parms.poly_modulus_degree)
+    p.set_coeff_modulus(list(inner_parms.coeff_modulus))
+    p.set_plain_modulus(inner_parms.plain_modulus)
+    return p
 
 
 class ContextData:
@@ -101,8 +135,11 @@ class ContextData:
         self._level = level
         self._cd = ctx._inner.get_context_data(level)
 
+    def parms(self) -> "EncryptionParameters":
+        return _rebuild_parms(self._cd.parms)
+
     def parms_id(self):
-        return self._cd.parms_id
+        return ParmsID(self._cd.parms_id)
 
     def chain_index(self) -> int:
         # the reference counts chain_index downward (last level = 0)
@@ -163,13 +200,13 @@ class SEALContext:
         return ContextData(self, 0)
 
     def first_parms_id(self):
-        return self._inner.first_context_data.parms_id
+        return ParmsID(self._inner.first_context_data.parms_id)
 
     def last_parms_id(self):
-        return self._inner.last_context_data.parms_id
+        return ParmsID(self._inner.last_context_data.parms_id)
 
     def key_parms_id(self):
-        return self._inner.key_context_data.parms_id
+        return ParmsID(self._inner.key_context_data.parms_id)
 
     def using_keyswitching(self) -> bool:
         return self._inner.using_keyswitching
@@ -214,8 +251,8 @@ class Plaintext(_Wrapper):
         """ParmsID of the level this plaintext lives at (binder.cu:237);
         mod-t coefficient plaintexts have no level -> zero ParmsID."""
         lvl = self._inner.level
-        return (_t.PARMS_ID_ZERO if lvl is None
-                else _LEVEL_TO_PARMS.get(lvl, _t.PARMS_ID_ZERO))
+        return ParmsID(_t.PARMS_ID_ZERO if lvl is None
+                       else _LEVEL_TO_PARMS.get(lvl, _t.PARMS_ID_ZERO))
 
     def set_parms_id(self, parms_id):
         self._inner = self._inner.replace(
@@ -257,7 +294,8 @@ class Ciphertext(_Wrapper):
         return int(self._inner.size)
 
     def parms_id(self):
-        return _LEVEL_TO_PARMS.get(self._inner.level, _t.PARMS_ID_ZERO)
+        return ParmsID(
+            _LEVEL_TO_PARMS.get(self._inner.level, _t.PARMS_ID_ZERO))
 
     def set_parms_id(self, parms_id):
         self._inner = self._inner.replace(

@@ -116,3 +116,20 @@ def test_wrong_magic_rejected(s):
         ser.load_ciphertext(b"XXXX" + raw[4:], s["ctx"])
     with pytest.raises(ValueError):
         ser.load_public_key(raw)
+
+
+def test_parms_save_load_roundtrip():
+    """Parameter-set byte stream (extension: the reference stripped
+    SEAL's params save/load, encryptionparams.h:345-395; the two-party
+    protocol needs one)."""
+    for scheme, t in ((T.SchemeType.bfv, T.PlainModulus.batching(64, 16)),
+                      (T.SchemeType.bgv, T.PlainModulus.batching(64, 16)),
+                      (T.SchemeType.ckks, None)):
+        kwargs = {} if t is None else {"plain_modulus": t}
+        parms = T.EncryptionParameters(
+            scheme=scheme, poly_modulus_degree=64,
+            coeff_modulus=tuple(T.CoeffModulus.create(64, [40, 30, 40])),
+            **kwargs)
+        parms2 = ser.load_parms(ser.save_parms(parms))
+        assert parms2 == parms
+        assert parms2.parms_id == parms.parms_id

@@ -278,3 +278,37 @@ def save_kswitch_keys(k: KSwitchKeys) -> bytes:
 
 def load_kswitch_keys(raw: bytes) -> KSwitchKeys:
     return _load_kswitch(raw, b"K", KSwitchKeys)
+
+
+# ---------------------------------------------------------------------------
+# encryption parameters
+# ---------------------------------------------------------------------------
+
+_MAGIC_PARMS = b"TEP1"
+
+
+def save_parms(parms) -> bytes:
+    """Serialize EncryptionParameters so the client/server protocol can
+    agree on a parameter set over the wire. The reference inherited this
+    from SEAL but stripped it (commented out, src/encryptionparams.h:
+    345-395) — we keep it, as the two-party app protocol needs it."""
+    head = _MAGIC_PARMS + _struct.pack(
+        "<BQB", int(parms.scheme), parms.poly_modulus_degree,
+        len(parms.coeff_modulus))
+    body = _struct.pack(f"<{len(parms.coeff_modulus)}Q",
+                        *[m.value for m in parms.coeff_modulus])
+    return head + body + _struct.pack("<Q", parms.plain_modulus.value)
+
+
+def load_parms(raw: bytes):
+    from .params import EncryptionParameters, SchemeType
+    from .modulus import Modulus
+    if raw[:4] != _MAGIC_PARMS:
+        raise ValueError("not an encryption-parameters stream")
+    scheme, n, k = _struct.unpack("<BQB", raw[4:14])
+    vals = _struct.unpack(f"<{k}Q", raw[14:14 + 8 * k])
+    plain, = _struct.unpack("<Q", raw[14 + 8 * k:22 + 8 * k])
+    return EncryptionParameters(
+        scheme=SchemeType(scheme), poly_modulus_degree=n,
+        coeff_modulus=tuple(Modulus(v) for v in vals),
+        plain_modulus=Modulus(plain))

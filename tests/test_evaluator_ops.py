@@ -167,3 +167,77 @@ def test_negate_roundtrip(bfv):
     ct = s["enc"].encrypt_symmetric(s["be"].encode(a))
     got = s["be"].decode(s["dec"].decrypt(s["ev"].negate(ct)))
     np.testing.assert_array_equal(got, (s["t"] - a) % s["t"])
+
+
+def test_apply_galois_many_matches_sequential():
+    """Hoisted multi-rotation (decompose-once) must agree with the
+    sequential apply_galois path at the decryption level in all three
+    schemes. (Bit-exactness is NOT expected: the hoisted path applies the
+    automorphism to the mod-p digit images, choosing the -v mod p_i
+    representative where the sequential path reduces q_j - v — the same
+    residue class mod q_j with equally small magnitude, so the ciphertexts
+    differ in noise representative but decrypt identically.)"""
+    for scheme in (T.SchemeType.bfv, T.SchemeType.bgv, T.SchemeType.ckks):
+        kwargs = {}
+        if scheme != T.SchemeType.ckks:
+            kwargs["plain_modulus"] = T.PlainModulus.batching(64, 16)
+        parms = T.EncryptionParameters(
+            scheme=scheme, poly_modulus_degree=64,
+            coeff_modulus=tuple(T.CoeffModulus.create(64, [40, 40, 40])),
+            **kwargs)
+        ctx = T.HeContext(parms, sec_level=T.SecurityLevel.none)
+        kg = T.KeyGenerator(ctx, seed=rnd.seed_from_uint64(77))
+        glk = kg.create_galois_keys()
+        enc = T.Encryptor(ctx, secret_key=kg.secret_key)
+        dec = T.Decryptor(ctx, kg.secret_key)
+        ev = T.Evaluator(ctx)
+        n = ctx.n
+        if scheme == T.SchemeType.ckks:
+            ce = T.CKKSEncoder(ctx)
+            vals = np.arange(n // 2) * (0.25 + 0.5j)
+            ct = enc.encrypt_symmetric(ce.encode(vals, scale=2.0**40))
+        else:
+            be = T.BatchEncoder(ctx)
+            vals = np.arange(n, dtype=np.uint64)
+            ct = enc.encrypt_symmetric(be.encode(vals))
+
+        elts = [T.utils.galois.get_elt_from_step(n, s) for s in (1, 2, -1)]
+        elts.append(2 * n - 1)
+        hoisted = ev.apply_galois_many(ct, elts, glk)
+        for elt, h in zip(elts, hoisted):
+            seq = ev.apply_galois(ct, elt, glk)
+            if scheme == T.SchemeType.ckks:
+                got = ce.decode(dec.decrypt(h))
+                want = ce.decode(dec.decrypt(seq))
+                np.testing.assert_allclose(got, want, atol=1e-4,
+                                           err_msg=f"elt={elt}")
+            else:
+                np.testing.assert_array_equal(
+                    be.decode(dec.decrypt(h)), be.decode(dec.decrypt(seq)),
+                    err_msg=f"scheme={scheme} elt={elt}")
+
+
+def test_rotate_many_mixed_keys():
+    """rotate_many: direct-key steps ride the hoisted path, steps without
+    an exact key fall back to NAF composition — results must match the
+    one-at-a-time rotate API."""
+    parms = T.EncryptionParameters(
+        scheme=T.SchemeType.bfv, poly_modulus_degree=64,
+        coeff_modulus=tuple(T.CoeffModulus.create(64, [40, 40, 40])),
+        plain_modulus=T.PlainModulus.batching(64, 16))
+    ctx = T.HeContext(parms, sec_level=T.SecurityLevel.none)
+    kg = T.KeyGenerator(ctx, seed=rnd.seed_from_uint64(78))
+    glk = kg.create_galois_keys()   # default set: conjugation + powers of 2
+    enc = T.Encryptor(ctx, secret_key=kg.secret_key)
+    dec = T.Decryptor(ctx, kg.secret_key)
+    be = T.BatchEncoder(ctx)
+    ev = T.Evaluator(ctx)
+    a = np.arange(64, dtype=np.uint64)
+    ct = enc.encrypt_symmetric(be.encode(a))
+    steps = [0, 1, 3, 2, -2]   # 3 has no direct key in the default set
+    outs = ev.rotate_many(ct, steps, glk)
+    for s, out in zip(steps, outs):
+        ref = ct if s == 0 else ev.rotate_rows(ct, s, glk)
+        np.testing.assert_array_equal(
+            be.decode(dec.decrypt(out)), be.decode(dec.decrypt(ref)),
+            err_msg=f"step={s}")

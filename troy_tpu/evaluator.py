@@ -121,23 +121,22 @@ def _ntt_form_multiply(d1: jnp.ndarray, d2: jnp.ndarray,
     return jnp.stack(_dyadic_convolution(a, b, cd.ntt))
 
 
-def _switch_key_core(target: jnp.ndarray, key: jnp.ndarray,
-                     cd: ContextData, key_cd: ContextData,
-                     target_ntt_form: bool) -> jnp.ndarray:
-    """The key-switch pipeline (evaluator_cuda.cu:1163-1362) as a dense
-    contraction. target: (k, n) in the ciphertext's domain; key:
-    (decomp_full, 2, key_full, n) NTT form. Returns (2, k, n) in the
-    ciphertext's domain, to be added onto (c0, c1)."""
+def _switch_key_decompose(target: jnp.ndarray, cd: ContextData,
+                          key_cd: ContextData,
+                          target_ntt_form: bool) -> jnp.ndarray:
+    """Stage 1 of the key switch: RNS-digit decomposition of the target
+    polynomial, reduced mod every used key prime and NTT'd — the expensive
+    part (k x (k+1) limb NTTs). Returns t_hat (k, used, n), fully reduced.
+
+    Split out so hoisted multi-rotation can compute it ONCE and reuse it
+    across automorphisms: digit decomposition commutes with the Galois
+    automorphism, and in NTT domain the automorphism is a pure permutation
+    of t_hat's last axis."""
     k = cd.limbs
-    n = cd.n
     key_values = key_cd.coeff_values
     kf = len(key_values)
-    p_sp = key_values[-1]
     used = list(range(k)) + [kf - 1]
-    key_tables = key_cd.ntt
-    used_tables = key_tables.select(used)
-    scheme = cd.scheme
-    is_ntt_scheme = scheme in (SchemeType.ckks, SchemeType.bgv)
+    used_tables = key_cd.ntt.select(used)
 
     # ---- decompose: t_hat[j, i] = NTT_{p_i}(target_j mod p_i) ----
     if target_ntt_form:
@@ -157,7 +156,25 @@ def _switch_key_core(target: jnp.ndarray, key: jnp.ndarray,
             rows.append(tj)
         cols.append(jnp.stack(rows))
     t_mat = jnp.stack(cols, axis=1)            # (k_j, used, n)
-    t_hat = dntt.rns_ntt_forward(t_mat, used_tables)   # fully reduced
+    return dntt.rns_ntt_forward(t_mat, used_tables)   # fully reduced
+
+
+def _switch_key_contract(t_hat: jnp.ndarray, key: jnp.ndarray,
+                         cd: ContextData,
+                         key_cd: ContextData) -> jnp.ndarray:
+    """Stage 2 of the key switch: the dense 128-bit inner product against
+    the switching key plus the divide-by-special-prime rounding. Takes the
+    decomposed digits t_hat (k, used, n) from _switch_key_decompose."""
+    k = cd.limbs
+    n = cd.n
+    key_values = key_cd.coeff_values
+    kf = len(key_values)
+    p_sp = key_values[-1]
+    used = list(range(k)) + [kf - 1]
+    key_tables = key_cd.ntt
+    used_tables = key_tables.select(used)
+    scheme = cd.scheme
+    is_ntt_scheme = scheme in (SchemeType.ckks, SchemeType.bgv)
 
     # ---- 128-bit dense inner product over the decomposition axis ----
     key_used = key[:k][:, :, jnp.asarray(np.array(used, dtype=np.int32)), :]
@@ -216,6 +233,17 @@ def _switch_key_core(target: jnp.ndarray, key: jnp.ndarray,
         inv_p = [numth.invert_mod(p_sp % qv, qv) for qv in cd.coeff_values]
         outs.append(dpoly.rns_scalar_mul(diff, inv_p, cd.ntt))
     return jnp.stack(outs)
+
+
+def _switch_key_core(target: jnp.ndarray, key: jnp.ndarray,
+                     cd: ContextData, key_cd: ContextData,
+                     target_ntt_form: bool) -> jnp.ndarray:
+    """The key-switch pipeline (evaluator_cuda.cu:1163-1362) as a dense
+    contraction. target: (k, n) in the ciphertext's domain; key:
+    (decomp_full, 2, key_full, n) NTT form. Returns (2, k, n) in the
+    ciphertext's domain, to be added onto (c0, c1)."""
+    t_hat = _switch_key_decompose(target, cd, key_cd, target_ntt_form)
+    return _switch_key_contract(t_hat, key, cd, key_cd)
 
 
 
@@ -312,6 +340,50 @@ def _batched_galois_fold(data: jnp.ndarray, src: jnp.ndarray,
         lambda t: _switch_key_core(t, key, cd, key_cd, ntt_domain))(c1)
     out0 = dpoly.rns_add(c0, delta[:, 0], cd.ntt)
     return jnp.stack([out0, delta[:, 1]], axis=1)
+
+
+@partial(jax.jit, static_argnames=("ntt_domain",))
+def _hoisted_galois_core(data: jnp.ndarray, perms: jnp.ndarray,
+                         srcs: jnp.ndarray, keeps: jnp.ndarray,
+                         keys: jnp.ndarray, cd: ContextData,
+                         key_cd: ContextData,
+                         ntt_domain: bool) -> jnp.ndarray:
+    """HOISTED multi-automorphism (an extension — the reference key-switches
+    each rotation from scratch, evaluator_cuda.cu:2024): decompose+NTT the
+    target digits ONCE, then apply every automorphism as a permutation of
+    t_hat's evaluation axis followed by the key contraction, vmapped into
+    one executable. Valid because digit decomposition commutes with the
+    automorphism and the NTT-domain automorphism is a pure permutation.
+    Saves the k x (k+1) decompose NTTs on every rotation after the first
+    (the dominant cost at small k).
+
+    NOT bit-identical to the sequential path in coefficient domain: for
+    sign-flipped coefficients the sequential path reduces the q_j - v
+    representative mod each key prime, while permuting the digit images
+    yields -v mod p_i — the same residue class mod q_j at equal magnitude,
+    so only the rounding noise representative differs; decryption agrees.
+
+    data (2, k, n); perms (m, n) NTT-domain tables; srcs/keeps (m, n)
+    coefficient-domain tables (used for c0 when not ntt_domain);
+    keys (m, decomp, 2, kf, n). Returns (m, 2, k, n)."""
+    t_hat = _switch_key_decompose(data[1], cd, key_cd, ntt_domain)
+
+    if ntt_domain:
+        def one(perm, key):
+            delta = _switch_key_contract(jnp.take(t_hat, perm, axis=-1),
+                                         key, cd, key_cd)
+            c0 = _apply_permutation(data[0], perm)
+            out0 = _add(c0[None], delta[0][None], cd)[0]
+            return jnp.stack([out0, delta[1]])
+        return jax.vmap(one)(perms, keys)
+
+    def one(perm, src, keep, key):
+        delta = _switch_key_contract(jnp.take(t_hat, perm, axis=-1),
+                                     key, cd, key_cd)
+        c0 = _apply_permutation_signed(data[0], src, keep, cd)
+        out0 = _add(c0[None], delta[0][None], cd)[0]
+        return jnp.stack([out0, delta[1]])
+    return jax.vmap(one)(perms, srcs, keeps, keys)
 
 
 @partial(jax.jit, static_argnames=("shift", "ntt_domain"))
@@ -820,6 +892,62 @@ class Evaluator:
             data = _apply_galois_coeff_core(ct.data, src_j, keep_j, key,
                                             cd, key_cd)
         return ct.replace(data=data, seed=0)
+
+    def apply_galois_many(self, ct: Ciphertext, elts: Sequence[int],
+                          galois_keys: GaloisKeys) -> List[Ciphertext]:
+        """Hoisted multi-automorphism: the digit decomposition + NTT of c1
+        is computed once and shared by every element's key switch (see
+        _hoisted_galois_core). Drop-in faster replacement for a loop of
+        apply_galois over the SAME ciphertext (baby-step/giant-step linear
+        transforms, multi-rotation inner products). Extension beyond the
+        reference, which re-decomposes per rotation."""
+        if ct.size != 2:
+            raise ValueError("apply_galois_many expects size-2 ciphertexts "
+                             "(relinearize first)")
+        if not elts:
+            return []
+        for elt in elts:
+            if not galois_keys.has_key(elt):
+                raise ValueError(f"Galois key for element {elt} not present")
+        cd = self._cd(ct)
+        n = cd.n
+        key_cd = self.context.key_context_data
+        keys = jnp.stack([galois_keys.keys[elt] for elt in elts])
+        perms = jnp.stack([galois_util.ntt_permutation_dev(n, elt)
+                           for elt in elts])
+        if ct.is_ntt_form:
+            srcs = keeps = perms   # unused in the NTT-domain branch
+        else:
+            pairs = [galois_util.coeff_permutation_dev(n, elt)
+                     for elt in elts]
+            srcs = jnp.stack([p[0] for p in pairs])
+            keeps = jnp.stack([p[1] for p in pairs])
+        out = _hoisted_galois_core(ct.data, perms, srcs, keeps, keys,
+                                   cd, key_cd, ct.is_ntt_form)
+        return [ct.replace(data=out[i], seed=0) for i in range(len(elts))]
+
+    def rotate_many(self, ct: Ciphertext, steps: Sequence[int],
+                    galois_keys: GaloisKeys) -> List[Ciphertext]:
+        """Hoisted multi-rotation of ONE ciphertext by several step counts
+        (rows for BFV/BGV, vector for CKKS). Steps whose exact Galois key
+        is present share one hoisted decomposition; the rest (and step 0)
+        fall back to the sequential NAF path."""
+        n = self.context.n
+        direct = [(i, galois_util.get_elt_from_step(n, s))
+                  for i, s in enumerate(steps)
+                  if s != 0 and galois_keys.has_key(
+                      galois_util.get_elt_from_step(n, s))]
+        results: List[Optional[Ciphertext]] = [None] * len(steps)
+        if direct:
+            rotated = self.apply_galois_many(
+                ct, [elt for _, elt in direct], galois_keys)
+            for (i, _), r in zip(direct, rotated):
+                results[i] = r
+        for i, s in enumerate(steps):
+            if results[i] is None:
+                results[i] = ct if s == 0 else \
+                    self._rotate_internal(ct, s, galois_keys)
+        return results
 
     def _rotate_internal(self, ct: Ciphertext, steps: int,
                          galois_keys: GaloisKeys) -> Ciphertext:

@@ -830,6 +830,20 @@ class Evaluator:
         c._inner = self._inner.rotate_vector(c._inner, int(steps),
                                              galois_keys._inner)
 
+    def rotate_many(self, c: Ciphertext, steps: Sequence[int],
+                    galois_keys: GaloisKeys) -> List[Ciphertext]:
+        """Extension beyond the binder: hoisted multi-rotation of one
+        ciphertext (decompose-once key switching; see
+        Evaluator.rotate_many in troy_tpu.evaluator)."""
+        return [Ciphertext(r) for r in self._inner.rotate_many(
+            c._inner, [int(s) for s in steps], galois_keys._inner)]
+
+    def apply_galois_many(self, c: Ciphertext, galois_elts: Sequence[int],
+                          galois_keys: GaloisKeys) -> List[Ciphertext]:
+        """Extension beyond the binder: hoisted multi-automorphism."""
+        return [Ciphertext(r) for r in self._inner.apply_galois_many(
+            c._inner, [int(e) for e in galois_elts], galois_keys._inner)]
+
     def complex_conjugate(self, c: Ciphertext, galois_keys: GaloisKeys,
                           out: Optional[Ciphertext] = None):
         return _assign_or_return(

@@ -403,18 +403,36 @@ class KeyGenerator:
     def secret_key(self) -> SecretKey:
         return SecretKey(self._inner.secret_key)
 
-    def create_public_key(self) -> PublicKey:
-        return PublicKey(self._inner.create_public_key())
+    @staticmethod
+    def _out_key(result, out):
+        if out is None:
+            return result
+        out._inner = result._inner
+        return out
 
-    def create_relin_keys(self) -> RelinKeys:
-        return RelinKeys(self._inner.create_relin_keys())
+    def create_public_key(self,
+                          out: Optional[PublicKey] = None) -> PublicKey:
+        """Both binder styles: assign-return and out-param
+        (binder/timetest.py `keygen.create_public_key(self.pk)`)."""
+        return self._out_key(PublicKey(self._inner.create_public_key()), out)
 
-    def create_galois_keys(self, steps: Optional[Sequence[int]] = None
-                           ) -> GaloisKeys:
-        return GaloisKeys(self._inner.create_galois_keys(steps=steps))
+    def create_relin_keys(self,
+                          out: Optional[RelinKeys] = None) -> RelinKeys:
+        return self._out_key(RelinKeys(self._inner.create_relin_keys()), out)
 
-    def create_automorphism_keys(self) -> GaloisKeys:
-        return GaloisKeys(self._inner.create_automorphism_keys())
+    def create_galois_keys(self, steps=None,
+                           out: Optional[GaloisKeys] = None) -> GaloisKeys:
+        # binder overloads: (), (steps), (out), (steps, out)
+        if isinstance(steps, GaloisKeys):
+            steps, out = None, steps
+        return self._out_key(
+            GaloisKeys(self._inner.create_galois_keys(steps=steps)), out)
+
+    def create_automorphism_keys(self,
+                                 out: Optional[GaloisKeys] = None
+                                 ) -> GaloisKeys:
+        return self._out_key(
+            GaloisKeys(self._inner.create_automorphism_keys()), out)
 
     def create_keyswitching_keys(self, new_key: SecretKey) -> KSwitchKeys:
         return KSwitchKeys(self._inner.create_keyswitch_key(new_key._inner))

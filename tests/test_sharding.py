@@ -198,3 +198,78 @@ def test_sharded_app_matmul(setup):
     np.testing.assert_array_equal(
         y.astype(object) % t,
         (x.astype(object) @ w.astype(object)) % t)
+
+
+def _ctx5():
+    parms5 = T.EncryptionParameters(
+        scheme=T.SchemeType.bfv, poly_modulus_degree=N,
+        coeff_modulus=tuple(T.CoeffModulus.create(N, [30] * 5)),
+        plain_modulus=T.PlainModulus.batching(N, 16))
+    ctx5 = T.HeContext(parms5, sec_level=T.SecurityLevel.none)
+    kg5 = T.KeyGenerator(ctx5, seed=rnd.seed_from_uint64(31))
+    return ctx5, kg5
+
+
+def test_limb_sharded_rotate(setup):
+    """Rotation under the limb regime: permutation is limb-local, the key
+    switch reduces over ICI; must match the unsharded evaluator word for
+    word AND really communicate (VERDICT.md next #7)."""
+    import re
+    a = np.arange(N, dtype=np.uint64)
+    ctx5, kg5 = _ctx5()
+    gk5 = kg5.create_galois_keys(steps=[1])
+    enc5 = T.Encryptor(ctx5, secret_key=kg5.secret_key)
+    be5 = T.BatchEncoder(ctx5)
+    ct = enc5.encrypt_symmetric(be5.encode(a))
+    mesh4 = par.make_mesh(4)
+    run = par.limb_sharded_rotate(ctx5, gk5, 1, mesh4)
+    spec = NamedSharding(mesh4, P(None, "dp", None))
+    out = run(jax.device_put(ct.data, spec))
+    ev5 = T.Evaluator(ctx5)
+    want = ev5.rotate_rows(ct, 1, gk5)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want.data))
+    hlo = run.jitted.lower(jax.device_put(ct.data, spec),
+                           *run.args).compile().as_text()
+    assert re.search(
+        "all-reduce|all-to-all|collective-permute|all-gather", hlo), \
+        "limb-sharded rotate HLO has no collectives"
+
+
+def test_limb_sharded_mod_switch(setup):
+    a = np.arange(N, dtype=np.uint64)
+    ctx5, kg5 = _ctx5()
+    enc5 = T.Encryptor(ctx5, secret_key=kg5.secret_key)
+    be5 = T.BatchEncoder(ctx5)
+    ct = enc5.encrypt_symmetric(be5.encode(a))
+    mesh4 = par.make_mesh(4)
+    run = par.limb_sharded_mod_switch(ctx5, mesh4)
+    spec = NamedSharding(mesh4, P(None, "dp", None))
+    out = run(jax.device_put(ct.data, spec))
+    ev5 = T.Evaluator(ctx5)
+    want = ev5.mod_switch_to_next(ct)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(want.data))
+
+
+def test_dp_limb_sharded_rotate_and_mod_switch(setup):
+    """The 2-D regime chains rotate -> mod-switch on a (4, 2) mesh with no
+    resharding between the ops; each batch element must match the
+    unsharded evaluator bit-exactly."""
+    s = setup
+    a = np.arange(N, dtype=np.uint64)
+    ctx, kg = s["ctx"], None
+    kg = T.KeyGenerator(ctx, seed=rnd.seed_from_uint64(41))
+    gk = kg.create_galois_keys(steps=[2])
+    enc = T.Encryptor(ctx, secret_key=kg.secret_key)
+    cts = [enc.encrypt_symmetric(s["be"].encode(a + i)).data
+           for i in range(4)]
+    mesh2d = par.make_mesh_2d(4, 2)
+    spec = NamedSharding(mesh2d, P("dp", None, "tp", None))
+    batch = jax.device_put(jnp.stack(cts), spec)
+    rot = par.dp_limb_sharded_rotate(ctx, gk, 2, mesh2d)(batch)
+    ms = par.dp_limb_sharded_mod_switch(ctx, mesh2d)(rot)
+    ev = T.Evaluator(ctx)
+    for i in range(4):
+        ct = T.Ciphertext(data=np.asarray(cts[i]), level=ctx.first_level)
+        want = ev.mod_switch_to_next(ev.rotate_rows(ct, 2, gk))
+        np.testing.assert_array_equal(np.asarray(ms[i]),
+                                      np.asarray(want.data))

@@ -8,10 +8,13 @@ same Galois automorphisms the batch encoder uses), conjugate symmetry makes
 the inverse embedding real, and coefficients are scaled, rounded exactly,
 and decomposed into RNS.
 
-Host/device split: the complex FFT runs on host numpy (complex128 — the
-same double precision the reference's FFT uses); the RNS lift and the final
-NTT run on device. Rounded coefficients can exceed 64 bits (scale * value
-up to Q/2), so the lift goes through exact Python integers.
+The DEFAULT path is fully device-native (ops/embedding.py): the canonical
+embedding runs as MXU int8 digit-plane matmuls (4-step factorization, f64
+recombination, ~2^-51 relative error — f64-FFT class), rounding to RNS is
+exact at any magnitude via radix-2^32 chunk extraction, and decode's CRT
+composition is multiword-exact on device. A host numpy path
+(``host=True``) is kept as the independent oracle; the two agree to the
+last rounded bit on every pinned vector (tests/test_ckks_device_encoder.py).
 """
 
 from __future__ import annotations
@@ -25,11 +28,12 @@ from .context import HeContext, ContextData
 from .he_types import Plaintext
 from .params import SchemeType
 from .ops import ntt as dntt
+from .ops import embedding as emb
 from .utils import numth
 
 
 def _round_to_rns(coeffs: np.ndarray, cd: ContextData) -> np.ndarray:
-    """Round scaled float coefficients and decompose into RNS residues.
+    """Host oracle: round scaled float coefficients and decompose into RNS.
 
     Vectorized int64 fast path for |c| < 2^62 (float64 is exact there up to
     its 53-bit mantissa, matching the reference's double rounding,
@@ -49,14 +53,15 @@ def _round_to_rns(coeffs: np.ndarray, cd: ContextData) -> np.ndarray:
 
 
 class CKKSEncoder:
-    """(ckks.h:97)"""
+    """(ckks.h:97; device kernels: ckks_cuda.cu:103-454 equivalents)"""
 
-    def __init__(self, context: HeContext):
+    def __init__(self, context: HeContext, host: bool = False):
         if context.scheme != SchemeType.ckks:
             raise ValueError("CKKSEncoder requires a CKKS context")
         self.context = context
         self.n = context.n
         self.slots = self.n // 2
+        self.host = host
 
         # slot i <-> evaluation point zeta^(3^i): natural index j = (3^i-1)/2
         # (ckks.cpp matrix_reps_index_map analogue, natural-order variant)
@@ -72,12 +77,16 @@ class CKKSEncoder:
         k = np.arange(n)
         self._twist = np.exp(1j * np.pi * k / n)        # zeta^k
         self._untwist = np.exp(-1j * np.pi * k / n)
+        self._emb = None if host else emb.make_embed_tables(n)
 
     @property
     def slot_count(self) -> int:
         return self.slots
 
-    # ---- encode (ckks.cpp encode_internal) ----
+    def _round_tables(self, cd: ContextData) -> "emb.RnsRoundTables":
+        return emb.make_rns_round_tables(tuple(cd.coeff_values))
+
+    # ---- encode (ckks.cpp encode_internal; device: encode_pipeline) ----
     def encode(self, values: Union[Sequence[complex], np.ndarray],
                scale: float, level: Optional[int] = None) -> Plaintext:
         ctx = self.context
@@ -87,8 +96,28 @@ class CKKSEncoder:
         values = np.asarray(values, dtype=np.complex128)
         if values.ndim != 1 or len(values) > self.slots:
             raise ValueError("too many slot values")
-        n = self.n
+        if self.host:
+            return self._encode_host(values, scale, level, cd)
+        # conservative magnitude gate without a device readback:
+        # |coeffs| <= scale * max|values| (|FFT(V)/n| <= max|V|)
+        bound = float(scale) * float(np.max(np.abs(values), initial=0.0))
+        if bound >= cd.total_coeff_modulus / 2:
+            raise ValueError("encoded values are too large for the "
+                             "coefficient modulus at this level")
+        # split scale = s_small * 2^E host-side so the device f64 value
+        # stays < 2^45 (exact-integer zone of the TPU f32-pair emulation)
+        s_small, pow2e, pow2e_sh = emb.scale_split_host(
+            float(scale), bound, cd.coeff_values)
+        data = emb.encode_pipeline_jit(
+            jnp.asarray(values.real), jnp.asarray(values.imag),
+            jnp.asarray(s_small, dtype=jnp.float64),
+            jnp.asarray(pow2e), jnp.asarray(pow2e_sh),
+            self._emb, self._round_tables(cd), cd.ntt)
+        return Plaintext(data=data, level=level, is_ntt_form=True,
+                         scale=scale)
 
+    def _encode_host(self, values, scale, level, cd) -> Plaintext:
+        n = self.n
         # scatter into conjugate-symmetric evaluation vector
         V = np.zeros(n, dtype=np.complex128)
         j = self._slot_index[:len(values)]
@@ -146,15 +175,25 @@ class CKKSEncoder:
         if len(coeffs) > self.n:
             raise ValueError("too many coefficients")
         scaled = np.zeros(self.n, dtype=np.float64)
-        scaled[:len(coeffs)] = coeffs * scale
-        rns = _round_to_rns(scaled, cd)
-        data = dntt.rns_ntt_forward(jnp.asarray(rns), cd.ntt)
+        scaled[:len(coeffs)] = coeffs
+        if self.host:
+            rns = _round_to_rns(scaled * scale, cd)
+            data = dntt.rns_ntt_forward(jnp.asarray(rns), cd.ntt)
+        else:
+            bound = float(scale) * float(np.max(np.abs(scaled), initial=0.0))
+            s_small, pow2e, pow2e_sh = emb.scale_split_host(
+                float(scale), bound, cd.coeff_values)
+            data = emb.encode_polynomial_pipeline_jit(
+                jnp.asarray(scaled),
+                jnp.asarray(s_small, dtype=jnp.float64),
+                jnp.asarray(pow2e), jnp.asarray(pow2e_sh),
+                self._emb, self._round_tables(cd), cd.ntt)
         return Plaintext(data=data, level=level, is_ntt_form=True,
                          scale=scale)
 
-    # ---- decode (ckks.cpp decode_internal) ----
+    # ---- decode (ckks.cpp decode_internal; device: decode_pipeline) ----
     def _compose_centered(self, plain: Plaintext) -> np.ndarray:
-        """RNS -> centered big-int coefficients (host CRT compose)."""
+        """RNS -> centered big-int coefficients (host CRT compose oracle)."""
         cd = self.context.get_context_data(plain.level)
         coeffs_rns = np.asarray(dntt.rns_ntt_inverse(plain.data, cd.ntt))
         base = cd.rns_tool.base_q
@@ -184,14 +223,35 @@ class CKKSEncoder:
         acc = np.where(acc > half, acc - Q, acc)
         return acc.astype(np.float64)
 
+    def decode_device(self, plain: Plaintext):
+        """Device-resident decode: returns (re, im) f64 DEVICE arrays of
+        slot values — the perf-surface entry (no host readback; use
+        np.asarray on the results to materialize)."""
+        if not plain.is_ntt_form or plain.level is None:
+            raise ValueError("CKKS decode expects an NTT-form plaintext")
+        cd = self.context.get_context_data(plain.level)
+        return emb.decode_pipeline_jit(
+            plain.data, jnp.asarray(1.0 / plain.scale, dtype=jnp.float64),
+            self._emb, self._round_tables(cd), cd.ntt)
+
     def decode(self, plain: Plaintext) -> np.ndarray:
         if not plain.is_ntt_form or plain.level is None:
             raise ValueError("CKKS decode expects an NTT-form plaintext")
-        coeffs = self._compose_centered(plain) / plain.scale
-        V = np.fft.ifft(coeffs * self._twist) * self.n
-        return V[self._slot_index]
+        if self.host:
+            coeffs = self._compose_centered(plain) / plain.scale
+            V = np.fft.ifft(coeffs * self._twist) * self.n
+            return V[self._slot_index]
+        re, im = self.decode_device(plain)
+        return np.asarray(re) + 1j * np.asarray(im)
 
     def decode_polynomial(self, plain: Plaintext,
                           count: Optional[int] = None) -> np.ndarray:
-        coeffs = self._compose_centered(plain) / plain.scale
+        if self.host:
+            coeffs = self._compose_centered(plain) / plain.scale
+        else:
+            cd = self.context.get_context_data(plain.level)
+            coeffs = np.asarray(emb.decode_polynomial_pipeline_jit(
+                plain.data,
+                jnp.asarray(1.0 / plain.scale, dtype=jnp.float64),
+                self._round_tables(cd), cd.ntt))
         return coeffs if count is None else coeffs[:count]

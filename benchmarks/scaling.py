@@ -47,9 +47,11 @@ def main():
     n_dev = len(jax.devices())
     print(f"devices: {n_dev} x {jax.devices()[0].platform}", flush=True)
 
+    # realistic 6-prime chain (5 data limbs) — the shape the round-1
+    # verdict asked the scaling evidence to be recorded at
     parms = T.EncryptionParameters(
         scheme=T.SchemeType.bfv, poly_modulus_degree=n,
-        coeff_modulus=tuple(T.CoeffModulus.create(n, [50, 40, 40, 50])),
+        coeff_modulus=tuple(T.CoeffModulus.create(n, [40] * 6)),
         plain_modulus=T.PlainModulus.batching(n, 20))
     ctx = T.HeContext(parms, sec_level=T.SecurityLevel.none)
     kg = T.KeyGenerator(ctx, seed=rnd.seed_from_uint64(777))
@@ -83,6 +85,55 @@ def main():
         print(f"  {d} dev x batch {per_dev_batch}: {ops:9.1f} ops/s "
               f"(weak-scaling eff {eff:5.1f}%)", flush=True)
         d *= 2
+    # ---- limb-sharded STRONG scaling of one mult+relin ----
+    # one ciphertext's RNS limbs spread over the mesh: the BEHZ base
+    # conversions and the key-switch inner product reduce over the mesh
+    # (psum) — this measures the collective overhead GSPMD inserts.
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    limbs = ctx.first_context_data.limbs
+    print(f"limb-sharded strong scaling (k={limbs} data limbs):",
+          flush=True)
+    t1 = None
+    for d in (1, limbs):
+        if d > n_dev:
+            break
+        mesh = par.make_mesh(d)
+        spec = NamedSharding(mesh, P(None, "dp", None))
+        run = par.limb_sharded_multiply_relin(ctx, rlk, mesh)
+        e1 = jax.device_put(base_ct1, spec)
+        e2 = jax.device_put(base_ct2, spec)
+        out = run(e1, e2)
+        out.block_until_ready()
+        t0 = time.time()
+        for _ in range(reps):
+            out = run(e1, e2)
+        out.block_until_ready()
+        dt = (time.time() - t0) / reps
+        if t1 is None:
+            t1 = dt
+        speedup = t1 / dt
+        eff = speedup / d * 100
+        print(f"  {d} dev: {dt*1e3:9.2f} ms/op  speedup {speedup:5.2f}x "
+              f"(strong-scaling eff {eff:5.1f}%)", flush=True)
+        # hardware-independent collective cost: bytes moved by the
+        # collectives GSPMD inserted, read off the compiled HLO
+        import re as _re
+        hlo = run.jitted.lower(e1, e2, *run.args).compile().as_text()
+        vol = 0
+        n_coll = 0
+        for mt in _re.finditer(
+                r"(all-reduce|all-gather|all-to-all|collective-permute|"
+                r"reduce-scatter)[^\n]*?\bu(?:64|32)\[([0-9,]*)\]", hlo):
+            dims = [int(x) for x in mt.group(2).split(",") if x]
+            elems = 1
+            for x in dims:
+                elems *= x
+            vol += elems * 8
+            n_coll += 1
+        if d > 1:
+            print(f"         collectives in HLO: {n_coll} ops, "
+                  f"{vol/1e6:.2f} MB moved per mult+relin", flush=True)
+
     if jax.devices()[0].platform == "cpu":
         print("  NOTE: virtual CPU devices share this host's physical "
               "cores — efficiency here validates the sharding layout, "

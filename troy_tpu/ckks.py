@@ -235,6 +235,11 @@ class CKKSEncoder:
             self._emb, self._round_tables(cd), cd.ntt)
 
     def decode(self, plain: Plaintext) -> np.ndarray:
+        """Slot values as a host numpy array.
+
+        PERF WARNING: materializing the result is a device->host readback;
+        inside a timed window use decode_device() (device-resident, no
+        readback) instead — see .claude/skills/verify/SKILL.md."""
         if not plain.is_ntt_form or plain.level is None:
             raise ValueError("CKKS decode expects an NTT-form plaintext")
         if self.host:

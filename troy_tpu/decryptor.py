@@ -165,7 +165,12 @@ class Decryptor:
     # ---- noise budget (decryptor.cpp invariantNoiseBudget; host-side) ----
     def invariant_noise_budget(self, ct: Ciphertext) -> int:
         """Bits of noise budget left: log2(Q/2) - log2(2*||t/Q*phase - m||).
-        Host big-int computation — a diagnostic, not a hot path."""
+        Host big-int computation — a diagnostic, not a hot path.
+
+        PERF WARNING: this performs a device->host readback. On harnesses
+        where readbacks degrade the dispatch path (e.g. the axon tunnel —
+        see .claude/skills/verify/SKILL.md), call it only AFTER all timed
+        work in the process."""
         if self.context.scheme not in (SchemeType.bfv, SchemeType.bgv):
             raise ValueError("noise budget is defined for BFV/BGV only")
         cd = self.context.get_context_data(ct.level)

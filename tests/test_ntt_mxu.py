@@ -44,3 +44,25 @@ def test_roundtrip_large():
     y = ntt_mxu.ntt_forward_mxu(x, mxu)
     back = np.asarray(ntt_mxu.ntt_inverse_mxu(y, mxu))
     np.testing.assert_array_equal(back, np.asarray(x))
+
+
+def test_ndigits_bound_tight():
+    """The per-modulus digit-plane count must hold for the WORST residue
+    (q-1) at every standard prime width — the greedy byte+carry
+    decomposition asserts internally if a value needs an extra plane."""
+    from troy_tpu.ops.ntt_mxu import _ndigits, _signed_digits_host
+    import troy_tpu as T
+    for bits in (30, 36, 40, 48, 50, 55, 59, 60):
+        q = int(T.CoeffModulus.create(4096, [bits])[0])
+        nd = _ndigits(q)
+        worst = np.array([[q - 1, q // 2, 1, 0]], dtype=np.uint64)
+        planes = _signed_digits_host(worst, nd)   # asserts on overflow
+        # and the planes reconstruct exactly
+        rec = sum(int(planes[p, 0, 0]) * (1 << (8 * p)) for p in range(nd))
+        assert rec == q - 1
+        # the count is minimal (one fewer plane must fail for max values)
+        if nd > 1:
+            import pytest
+            with pytest.raises(AssertionError):
+                _signed_digits_host(np.array([[q - 1]], dtype=np.uint64),
+                                    nd - 1)

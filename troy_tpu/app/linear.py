@@ -67,6 +67,48 @@ def _matmul_tiles_core(ct_tiles: jnp.ndarray, pt_tiles: jnp.ndarray,
 # vmap inside each step still shares the lifts and batches the products.
 _MAX_CIPHER_MULS_PER_DISPATCH = 32
 
+# HBM guard for the ct x pt contraction: the reference conv2d config
+# (1x64x256 56x56 k3 -> X=1, I=64, Y=52 tiles at n=16384) planned 26.9 GB
+# as one executable; chunking the output-tile axis bounds the live set
+# while the NTTs of the ciphertext tiles are still computed exactly once.
+_MAX_PLAIN_MULS_PER_DISPATCH = 2048
+
+
+@partial(jax.jit, static_argnames=())
+def _tiles_forward_ntt(ct_tiles: jnp.ndarray, cd: ContextData) -> jnp.ndarray:
+    return dntt.rns_ntt_forward(ct_tiles, cd.ntt)
+
+
+@partial(jax.jit, static_argnames=())
+def _tiles_inverse_ntt(acc: jnp.ndarray, cd: ContextData) -> jnp.ndarray:
+    return dntt.rns_ntt_inverse(acc, cd.ntt)
+
+
+@partial(jax.jit, static_argnames=())
+def _tiles_plain_ntt(pt_tiles: jnp.ndarray, cd: ContextData) -> jnp.ndarray:
+    return _plain_to_ntt.__wrapped__(pt_tiles, cd)
+
+
+def _matmul_tiles_chunked(ct_tiles: jnp.ndarray, pt_tiles: jnp.ndarray,
+                          cd: ContextData, ct_coeff: bool,
+                          pt_mod_t: bool) -> jnp.ndarray:
+    """ct x pt tile contraction with the output-tile axis chunked so no
+    single executable's live set exceeds HBM (big conv2d shapes)."""
+    X, I = ct_tiles.shape[0], ct_tiles.shape[1]
+    Y = pt_tiles.shape[1]
+    if X * I * Y <= _MAX_PLAIN_MULS_PER_DISPATCH:
+        return _matmul_tiles_core(ct_tiles, pt_tiles, cd, ct_coeff,
+                                  pt_mod_t)
+    ct_ntt = _tiles_forward_ntt(ct_tiles, cd) if ct_coeff else ct_tiles
+    y_chunk = max(1, _MAX_PLAIN_MULS_PER_DISPATCH // max(1, X * I))
+    parts = []
+    for y0 in range(0, Y, y_chunk):
+        pt_c = pt_tiles[:, y0:y0 + y_chunk]
+        pt_c = _tiles_plain_ntt(pt_c, cd) if pt_mod_t else pt_c
+        parts.append(_matmul_tiles_core(ct_ntt, pt_c, cd, False, False))
+    acc = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
+    return _tiles_inverse_ntt(acc, cd) if ct_coeff else acc
+
 
 @jax.jit
 def _matmul_cipher_pairs_core(a_col: jnp.ndarray, w_row: jnp.ndarray,
@@ -155,8 +197,9 @@ def _run_tile_contraction(ev: Evaluator, ct2d: "Cipher2d", pt2d: "Plain2d",
     pt0 = pt2d.data[0][0]
     if pt0.is_ntt_form and pt0.level != template.level:
         raise ValueError("NTT-form plaintext level mismatch")
-    out = _matmul_tiles_core(ct_tiles, pt_tiles, cd,
-                             not template.is_ntt_form, not pt0.is_ntt_form)
+    out = _matmul_tiles_chunked(ct_tiles, pt_tiles, cd,
+                                not template.is_ntt_form,
+                                not pt0.is_ntt_form)
     if transpose_out:
         out = jnp.swapaxes(out, 0, 1)
     scale = template.scale * pt0.scale if pt0.is_ntt_form else template.scale

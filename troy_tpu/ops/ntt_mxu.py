@@ -37,8 +37,20 @@ from .. import native
 from ..utils import numth
 
 U64 = jnp.uint64
-DIGITS = 8          # radix-256 planes covering 64 bits
-GROUPS = 4          # recombination groups of 4 digit-sums (radix 2^32)
+DIGITS = 8          # max radix-256 planes (61-bit moduli)
+
+
+def _ndigits(q: int) -> int:
+    """Signed radix-256 digit planes needed for residues in [0, q): the
+    smallest m with max_m = 127 * (256^m - 1) / 255 >= q - 1 (the greedy
+    byte+carry decomposition never exceeds that envelope). 6 planes for
+    40-bit primes vs 8 for 60-bit — narrow moduli shrink BOTH matmul
+    operands, so a 40-bit limb's NTT runs 6x6 plane pairs instead of 8x8
+    (44% fewer MXU MACs)."""
+    m = 1
+    while 127 * ((1 << (8 * m)) - 1) // 255 < q - 1:
+        m += 1
+    return m
 
 
 def _split_factors(n: int) -> Tuple[int, int]:
@@ -48,18 +60,18 @@ def _split_factors(n: int) -> Tuple[int, int]:
     return a, n // a
 
 
-def _signed_digits_host(mat: np.ndarray) -> np.ndarray:
-    """u64 matrix -> (DIGITS, ...) int8 signed radix-256 planes (exact)."""
-    out = np.zeros((DIGITS,) + mat.shape, dtype=np.int64)
+def _signed_digits_host(mat: np.ndarray, ndig: int = DIGITS) -> np.ndarray:
+    """u64 matrix -> (ndig, ...) int8 signed radix-256 planes (exact)."""
+    out = np.zeros((ndig,) + mat.shape, dtype=np.int64)
     rem = mat.astype(object)
     carry = np.zeros(mat.shape, dtype=object)
-    for i in range(DIGITS):
+    for i in range(ndig):
         d = (rem & 0xFF) + carry
         carry = np.where(d >= 128, 1, 0)
         d = np.where(d >= 128, d - 256, d)
         out[i] = d.astype(np.int64)
         rem = rem >> 8
-    assert (rem + carry == 0).all(), "value exceeded 61-bit digit range"
+    assert (rem + carry == 0).all(), "value exceeded the digit range"
     return out.astype(np.int8)
 
 
@@ -137,13 +149,22 @@ def make_mxu_tables(n: int, q: int) -> MxuNttTables:
     """Cached per (n, q): chain levels share primes, so the digit planes
     and twiddles convert + upload exactly once per prime. Uses the native
     precompute engine when available (bit-exact with the Python oracle —
-    tests/test_native.py); falls back to make_mxu_tables_host."""
+    tests/test_native.py); falls back to make_mxu_tables_host.
+
+    Digit planes are sized to the MODULUS (_ndigits): residues < q need
+    only ceil(bits/8)+carry planes, so narrow primes shrink the matmuls."""
     A, B = _split_factors(n)
+    nd = _ndigits(q)
     psi = numth.minimal_primitive_root(2 * n, q)
     filled = native.mxu_tables_fill(n, A, B, q, psi)
     if filled is not None:
         w1, tw, w2, v1, itw, v2, tw_shoup, itw_shoup = filled
-        digits = lambda m: jnp.asarray(native.signed_digits_fill(m))
+
+        def digits(m):
+            full = native.signed_digits_fill(m)      # always 8 planes
+            assert not full[nd:].any(), "digit planes exceed modulus width"
+            return jnp.asarray(np.ascontiguousarray(full[:nd]))
+
         return MxuNttTables(
             w1_digits=digits(w1),
             w2_digits=digits(w2),
@@ -161,12 +182,12 @@ def make_mxu_tables(n: int, q: int) -> MxuNttTables:
         np.array([[int(x) & 0xFFFFFFFFFFFFFFFF for x in row] for row in m],
                  dtype=np.uint64))
     return MxuNttTables(
-        w1_digits=jnp.asarray(_signed_digits_host(w1)),
-        w2_digits=jnp.asarray(_signed_digits_host(w2)),
+        w1_digits=jnp.asarray(_signed_digits_host(w1, nd)),
+        w2_digits=jnp.asarray(_signed_digits_host(w2, nd)),
         tw=as_u64(tw),
         tw_shoup=as_u64(shoup(tw)),
-        iw1_digits=jnp.asarray(_signed_digits_host(v1)),
-        iw2_digits=jnp.asarray(_signed_digits_host(v2)),
+        iw1_digits=jnp.asarray(_signed_digits_host(v1, nd)),
+        iw2_digits=jnp.asarray(_signed_digits_host(v2, nd)),
         itw=as_u64(itw),
         itw_shoup=as_u64(shoup(itw)),
         n=n, a=A, b=B, modulus=q,
@@ -177,12 +198,12 @@ def make_mxu_tables(n: int, q: int) -> MxuNttTables:
 # device pipeline
 # ---------------------------------------------------------------------------
 
-def _digits_device(x: jnp.ndarray) -> jnp.ndarray:
-    """u64 (..., R, C) -> int8 (DIGITS, ..., R, C) signed radix-256 planes."""
+def _digits_device(x: jnp.ndarray, ndig: int) -> jnp.ndarray:
+    """u64 (..., R, C) -> int8 (ndig, ..., R, C) signed radix-256 planes."""
     planes = []
     carry = jnp.zeros(x.shape, dtype=jnp.int32)
     rem = x
-    for i in range(DIGITS):
+    for i in range(ndig):
         d = (rem & jnp.uint64(0xFF)).astype(jnp.int32) + carry
         carry = (d >= 128).astype(jnp.int32)
         d = d - 256 * carry
@@ -195,12 +216,12 @@ def _mod_matmul(w_digits: jnp.ndarray, x: jnp.ndarray, q: int,
                 contract_left: bool) -> jnp.ndarray:
     """Exact (W @ X) mod q (or (X @ W) if not contract_left).
 
-    w_digits: (DIGITS, R, R) int8; x: (..., R, C) u64 (any residues < 2^61).
-    One int8 MXU matmul over the stacked digit planes, diagonal-group
-    regrouped in radix 2^32, Shoup-folded to [0, q).
+    w_digits: (Dw, R, R) int8 with Dw = _ndigits(q); x: (..., R, C) u64
+    residues < q. One int8 MXU matmul over the stacked digit planes,
+    diagonal-group regrouped in radix 2^32, Shoup-folded to [0, q).
     """
-    xd = _digits_device(x)                   # (D, ..., R, C)
-    D = DIGITS
+    D = w_digits.shape[0]                    # per-modulus plane count
+    xd = _digits_device(x, D)                # (D, ..., R, C)
     # contraction via dot_general: stack W planes on rows, X planes on cols
     if contract_left:
         # (D*R, R) @ (..., R, D*C) -> (..., D*R, D*C)
@@ -235,8 +256,9 @@ def _mod_matmul(w_digits: jnp.ndarray, x: jnp.ndarray, q: int,
     # group by digit-sum s = i + j (i: W digit if contract_left else X digit)
     lead2 = prod.shape[:-4]
     rows, cols = prod.shape[-2], prod.shape[-1]
+    n_sums = 2 * D - 1
     sums = [jnp.zeros(lead2 + (rows, cols), dtype=jnp.int32)
-            for _ in range(2 * D - 1)]
+            for _ in range(n_sums)]
     for i in range(D):
         for j in range(D):
             sums[i + j] = sums[i + j] + prod[..., i, j, :, :]
@@ -244,11 +266,12 @@ def _mod_matmul(w_digits: jnp.ndarray, x: jnp.ndarray, q: int,
     # radix-2^32 regroup: U_g = sum_{r<4} T_{4g+r} * 2^{8r}   (|U_g| < 2^52)
     out = None
     m_off = None
-    for g in range(GROUPS):
+    groups = (n_sums + 3) // 4
+    for g in range(groups):
         acc = jnp.zeros(lead2 + (rows, cols), dtype=jnp.int64)
         for r in range(4):
             s = 4 * g + r
-            if s < 2 * D - 1:
+            if s < n_sums:
                 acc = acc + sums[s].astype(jnp.int64) * (1 << (8 * r))
         # lift signed -> u64 residue: add a multiple of q >= 2^53
         if m_off is None:

@@ -253,3 +253,47 @@ def test_conv2d_block_search_matches_reference():
         got = (h.block_batch, h.block_height, h.block_width,
                h.block_in_channels, h.block_out_channels)
         assert got == expect, (bs, H, W, kh, kw, ci, co, slots, obj)
+
+
+def test_tile_contraction_chunked_matches_unchunked(monkeypatch):
+    """The HBM-guard chunking of the ct x pt tile contraction must be
+    bit-identical to the single-dispatch path (it exists so the reference
+    conv2d config 1x64x256 56x56 k3 fits in HBM)."""
+    import numpy as np
+    import troy_tpu as T
+    from troy_tpu import prng as rnd
+    from troy_tpu.app import linear as lin
+    from troy_tpu.app.linear import MatmulHelper
+
+    n = 64
+    parms = T.EncryptionParameters(
+        scheme=T.SchemeType.bfv, poly_modulus_degree=n,
+        coeff_modulus=tuple(T.CoeffModulus.create(n, [40, 40])),
+        plain_modulus=T.Modulus(1 << 10))
+    ctx = T.HeContext(parms, sec_level=T.SecurityLevel.none)
+    kg = T.KeyGenerator(ctx, seed=rnd.seed_from_uint64(5))
+    enc = T.Encryptor(ctx, secret_key=kg.secret_key)
+    dec = T.Decryptor(ctx, kg.secret_key)
+    ev = T.Evaluator(ctx)
+    be = T.BatchEncoder(ctx)
+    t = int(parms.plain_modulus)
+
+    rng = np.random.default_rng(3)
+    B, I, O = 16, 12, 10
+    x = rng.integers(0, t, size=(B, I), dtype=np.uint64)
+    w = rng.integers(0, t, size=(I, O), dtype=np.uint64)
+    helper = MatmulHelper(B, I, O, n, objective=0, pack_lwe=False)
+    x_ct = helper.encode_inputs(be.encode_polynomial, x) \
+        .encrypt_symmetric(enc)
+    w_pt = helper.encode_weights(be.encode_polynomial, w)
+
+    y_full = helper.matmul(ev, x_ct, w_pt)
+    monkeypatch.setattr(lin, "_MAX_PLAIN_MULS_PER_DISPATCH", 2)
+    y_chunked = helper.matmul(ev, x_ct, w_pt)
+    for r_full, r_chunk in zip(y_full.data, y_chunked.data):
+        for cf, cc in zip(r_full, r_chunk):
+            np.testing.assert_array_equal(np.asarray(cf.data),
+                                          np.asarray(cc.data))
+    got = helper.decrypt_outputs(be.decode_polynomial, dec, y_chunked)
+    np.testing.assert_array_equal(
+        got.astype(object) % t, (x.astype(object) @ w.astype(object)) % t)

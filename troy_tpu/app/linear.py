@@ -89,6 +89,24 @@ def _tiles_plain_ntt(pt_tiles: jnp.ndarray, cd: ContextData) -> jnp.ndarray:
     return _plain_to_ntt.__wrapped__(pt_tiles, cd)
 
 
+# NTT-conversion sub-chunk: the MXU 4-step transform materializes an
+# (ndig*A, ndig*B) i32 product grid per limb-row (~2.4 MB at n=16384), so
+# converting thousands of plaintext tiles in one dispatch overflows HBM.
+_MAX_TILE_NTTS_PER_DISPATCH = 128
+
+
+def _plain_ntt_chunked(pt_tiles: jnp.ndarray, cd: ContextData) -> jnp.ndarray:
+    """(I, Y, n) mod-t tiles -> (I, Y, k, n) NTT mod-q, in bounded
+    dispatches."""
+    I, Y, n = pt_tiles.shape
+    flat = pt_tiles.reshape(I * Y, n)
+    step = max(1, _MAX_TILE_NTTS_PER_DISPATCH)
+    parts = [_tiles_plain_ntt(flat[r0:r0 + step], cd)
+             for r0 in range(0, I * Y, step)]
+    out = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return out.reshape(I, Y, out.shape[-2], n)
+
+
 def _matmul_tiles_chunked(ct_tiles: jnp.ndarray, pt_tiles: jnp.ndarray,
                           cd: ContextData, ct_coeff: bool,
                           pt_mod_t: bool) -> jnp.ndarray:
@@ -104,7 +122,7 @@ def _matmul_tiles_chunked(ct_tiles: jnp.ndarray, pt_tiles: jnp.ndarray,
     parts = []
     for y0 in range(0, Y, y_chunk):
         pt_c = pt_tiles[:, y0:y0 + y_chunk]
-        pt_c = _tiles_plain_ntt(pt_c, cd) if pt_mod_t else pt_c
+        pt_c = _plain_ntt_chunked(pt_c, cd) if pt_mod_t else pt_c
         parts.append(_matmul_tiles_core(ct_ntt, pt_c, cd, False, False))
     acc = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=1)
     return _tiles_inverse_ntt(acc, cd) if ct_coeff else acc

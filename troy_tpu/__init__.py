@@ -1,6 +1,6 @@
 """troy_tpu — a TPU-native homomorphic encryption framework.
 
-A from-scratch JAX/XLA/Pallas implementation of the BFV, BGV and CKKS RLWE
+A from-scratch JAX/XLA implementation of the BFV, BGV and CKKS RLWE
 schemes with Microsoft-SEAL-compatible semantics (capability reference:
 lightbulb128/troy). Ciphertexts, plaintexts and keys are pytrees of uint64
 device arrays; every modulus and precomputed Barrett/Shoup constant is baked

@@ -41,10 +41,22 @@ v5e: XLA counts 71.0 Gflops for this program (63.9 G dots + 7 G
 elementwise — the two derivations AGREE; round 1's "64 G MACs" figure
 was this same 63.9 G flops mislabeled as MACs, which made its 0.162 ms
 floor 2x too low in MAC terms yet coincidentally right in flop terms).
-The published floor is max(compiler-derived, hand-derived MXU) — both
-are printed. With the honest floor at 0.180 ms, the measured chained-
-loop latency (~0.23 ms) sits ABOVE it, i.e. the published number is a
-real measurement, not a clamp.
+The published floor is the compiler-derived one (the hand count is
+printed as an upper reference — per-modulus digit planes make the real
+program smaller than the uniform-8-plane hand model).
+
+Attempted countermeasure, for the record: folding the whole loop into
+ONE lax.scan executable (so the tunnel cannot acknowledge per-op
+dispatches without executing) does NOT yield usable numbers either —
+pre-readback the window absorbs the speculated warmup's drain, and
+post-readback the poisoned process runs even a single big dispatch
+~40x slow (measured 5.6 ms/op for the same program). Corroboration
+that the real per-op cost sits near the floor comes from batched
+WORKLOAD timings instead: the app matmul runs 128 BEHZ mult(+relin)
+tile products in 15 ms (~0.12 ms each) and the full conv2d 3328
+dyadic tile products in 350 ms — both consistent with the
+0.12-0.15 ms/op class, and neither shape is speculable (their outputs
+are serialized and decrypted bit-exactly).
 """
 
 import json

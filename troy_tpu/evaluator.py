@@ -121,6 +121,61 @@ def _ntt_form_multiply(d1: jnp.ndarray, d2: jnp.ndarray,
     return jnp.stack(_dyadic_convolution(a, b, cd.ntt))
 
 
+def _dyadic_square(a0: jnp.ndarray, a1: jnp.ndarray,
+                   tables: dntt.RnsNttTables) -> List[jnp.ndarray]:
+    """Size-2 NTT-domain square: 3 dyadic products instead of the
+    convolution's 4 — the c0*c1 cross term is computed once and doubled
+    (kernelutils.cu:166-186 gDyadicSquareCoeffmod). Bit-identical to
+    _dyadic_convolution([a0,a1],[a0,a1]) since both fully reduce mod q."""
+    s0 = dntt.rns_dyadic_mul(a0, a0, tables)
+    cross = dntt.rns_dyadic_mul(a0, a1, tables)
+    s1 = dpoly.rns_add(cross, cross, tables)
+    s2 = dntt.rns_dyadic_mul(a1, a1, tables)
+    return [s0, s1, s2]
+
+
+@jax.jit
+def _bfv_square(d: jnp.ndarray, cd: ContextData) -> jnp.ndarray:
+    """Dedicated BEHZ square for size-2 ciphertexts
+    (evaluator_cuda.cu:525-601 bfvSquare): ONE lift of the two components
+    to q and Bsk (multiply lifts each *operand*, paying it twice when both
+    arguments are the same ciphertext) and 3 dyadic products instead of 4,
+    then the same t-scale / fast-floor / Bsk->q tail as multiply."""
+    tool = cd.rns_tool
+    qt = cd.ntt
+    bt = cd.bsk_ntt
+
+    q_ntt, bsk_ntt = [], []
+    for i in range(2):
+        poly = d[i]
+        q_ntt.append(dntt.rns_ntt_forward(poly, qt, lazy=True))
+        tmp = drns.fastbconv_m_tilde(poly, tool)
+        tmp = drns.sm_mrq(tmp, tool)
+        bsk_ntt.append(dntt.rns_ntt_forward(tmp, bt, lazy=True))
+
+    prod_q = _dyadic_square(q_ntt[0], q_ntt[1], qt)
+    prod_b = _dyadic_square(bsk_ntt[0], bsk_ntt[1], bt)
+
+    t_plain = int(cd.plain_modulus)
+    outs = []
+    for i in range(3):
+        cq = dntt.rns_ntt_inverse(prod_q[i], qt)
+        cb = dntt.rns_ntt_inverse(prod_b[i], bt)
+        cq = dpoly.rns_broadcast_scalar_mul(cq, t_plain, qt)
+        cb = dpoly.rns_broadcast_scalar_mul(cb, t_plain, bt)
+        stacked = jnp.concatenate([cq, cb], axis=0)
+        floored = drns.fast_floor(stacked, tool)
+        outs.append(drns.fastbconv_sk(floored, tool))
+    return jnp.stack(outs)
+
+
+@jax.jit
+def _ntt_form_square(d: jnp.ndarray, cd: ContextData) -> jnp.ndarray:
+    """CKKS/BGV dedicated square for size-2 ciphertexts
+    (evaluator_cuda.cu:601-646 ckksSquare, :647-700 bgvSquare)."""
+    return jnp.stack(_dyadic_square(d[0], d[1], cd.ntt))
+
+
 def _switch_key_decompose(target: jnp.ndarray, cd: ContextData,
                           key_cd: ContextData,
                           target_ntt_form: bool) -> jnp.ndarray:
@@ -683,7 +738,27 @@ class Evaluator:
         raise ValueError("unsupported scheme")
 
     def square(self, a: Ciphertext) -> Ciphertext:
-        return self.multiply(a, a)
+        """Dedicated square pipeline for size-2 ciphertexts — one BEHZ
+        lift and 3 dyadic products instead of multiply's two lifts and 4
+        (evaluator_cuda.cu:503-700 squareInplace / bfv|ckks|bgvSquare).
+        Larger sizes fall back to multiply, like the reference."""
+        if a.size != 2:
+            return self.multiply(a, a)
+        cd = self._cd(a)
+        scheme = cd.scheme
+        if scheme == SchemeType.bfv:
+            if a.is_ntt_form:
+                raise ValueError("BFV square expects coefficient form")
+            return a.replace(data=_bfv_square(a.data, cd), seed=0)
+        if scheme == SchemeType.ckks:
+            return a.replace(data=_ntt_form_square(a.data, cd),
+                             scale=a.scale * a.scale, seed=0)
+        if scheme == SchemeType.bgv:
+            t = int(cd.plain_modulus)
+            cf = a.correction_factor * a.correction_factor % t
+            return a.replace(data=_ntt_form_square(a.data, cd),
+                             correction_factor=cf, seed=0)
+        raise ValueError("unsupported scheme")
 
     def multiply_many(self, cts: Sequence[Ciphertext],
                       relin_keys: RelinKeys) -> Ciphertext:

@@ -65,7 +65,20 @@ def multiply(a: Ciphertext, b: Ciphertext, cd: ContextData) -> Ciphertext:
 
 
 def square(a: Ciphertext, cd: ContextData) -> Ciphertext:
-    return multiply(a, a, cd)
+    """Dedicated square for size-2 ciphertexts: one BEHZ lift + 3 dyadic
+    products (evaluator_cuda.cu:503-700); falls back to multiply for
+    larger sizes like the reference."""
+    if a.size != 2:
+        return multiply(a, a, cd)
+    scheme = cd.scheme
+    if scheme == SchemeType.bfv:
+        return a.replace(data=_ev._bfv_square(a.data, cd), seed=0)
+    data = _ev._ntt_form_square(a.data, cd)
+    if scheme == SchemeType.ckks:
+        return a.replace(data=data, scale=a.scale * a.scale, seed=0)
+    t = int(cd.plain_modulus)
+    cf = a.correction_factor * a.correction_factor % t
+    return a.replace(data=data, correction_factor=cf, seed=0)
 
 
 def switch_key(target: jnp.ndarray, key: jnp.ndarray, cd: ContextData,

@@ -19,7 +19,9 @@ last rounded bit on every pinned vector (tests/test_ckks_device_encoder.py).
 
 from __future__ import annotations
 
-from typing import Optional, Sequence, Union
+import math
+from dataclasses import dataclass
+from typing import Optional, Sequence, Tuple, Union
 
 import numpy as np
 import jax.numpy as jnp
@@ -50,6 +52,35 @@ def _round_to_rns(coeffs: np.ndarray, cd: ContextData) -> np.ndarray:
     for i, q in enumerate(cd.coeff_values):
         rns[i] = np.array([c % q for c in exact], dtype=np.uint64)
     return rns
+
+
+@dataclass
+class EncodeStats:
+    """Device-computed encode statistics (reference: src/ckks_cuda.cu:178-209
+    gMaxReal, consumed at :386-407 for the exact magnitude check).
+
+    ``max_abs_small`` is a DEVICE f64 scalar — max |round(c * s_small)|
+    over the embedded coefficients; the true max coefficient magnitude is
+    ``max_abs_small * 2**exponent`` (kept split because 2^E overflows the
+    TPU's float32-pair f64 emulation beyond ~2^127). Materializing either
+    property below is a device->host readback (PERF WARNING: poisons the
+    axon tunnel — read only outside timed windows)."""
+
+    max_abs_small: object      # device f64 scalar
+    exponent: int              # host scale-split E
+
+    @property
+    def max_coeff_bit_count(self) -> int:
+        """ceil(log2(max|coeff|)) + 1, the reference's validity measure
+        (ckks_cuda.cu:404 max_coeff_bit_count)."""
+        m = float(np.asarray(self.max_abs_small))
+        bits = math.ceil(math.log2(m)) if m > 1.0 else 0
+        return bits + self.exponent + 1
+
+    @property
+    def max_coeff_log2(self) -> float:
+        m = float(np.asarray(self.max_abs_small))
+        return (math.log2(m) if m > 0 else 0.0) + self.exponent
 
 
 class CKKSEncoder:
@@ -102,8 +133,16 @@ class CKKSEncoder:
         # |coeffs| <= scale * max|values| (|FFT(V)/n| <= max|V|)
         bound = float(scale) * float(np.max(np.abs(values), initial=0.0))
         if bound >= cd.total_coeff_modulus / 2:
-            raise ValueError("encoded values are too large for the "
-                             "coefficient modulus at this level")
+            # the conservative bound can overestimate by up to the crest
+            # factor of the embedding; fall back to the reference's EXACT
+            # device check (ckks_cuda.cu:386-407 gMaxReal path). This
+            # reads the statistic back (PERF WARNING: poisons the axon
+            # tunnel) — only borderline encodes pay it.
+            plain, stats = self.encode_with_stats(values, scale, level)
+            if stats.max_coeff_bit_count >= cd.total_coeff_modulus.bit_length():
+                raise ValueError("encoded values are too large for the "
+                                 "coefficient modulus at this level")
+            return plain
         # split scale = s_small * 2^E host-side so the device f64 value
         # stays < 2^45 (exact-integer zone of the TPU f32-pair emulation)
         s_small, pow2e, pow2e_sh = emb.scale_split_host(
@@ -115,6 +154,40 @@ class CKKSEncoder:
             self._emb, self._round_tables(cd), cd.ntt)
         return Plaintext(data=data, level=level, is_ntt_form=True,
                          scale=scale)
+
+    def encode_with_stats(self, values: Union[Sequence[complex], np.ndarray],
+                          scale: float, level: Optional[int] = None
+                          ) -> Tuple[Plaintext, EncodeStats]:
+        """Device encode plus the max-|coefficient| statistic the
+        reference computes with gMaxReal (ckks_cuda.cu:178-209, :386-407).
+        The statistic stays a device scalar; materializing it (via the
+        EncodeStats properties) is a readback."""
+        ctx = self.context
+        if level is None:
+            level = ctx.first_level
+        cd = ctx.get_context_data(level)
+        values = np.asarray(values, dtype=np.complex128)
+        if values.ndim != 1 or len(values) > self.slots:
+            raise ValueError("too many slot values")
+        if self.host:
+            plain = self._encode_host(values, scale, level, cd)
+            coeffs = self._compose_centered(plain)
+            m = float(np.max(np.abs(coeffs), initial=0.0))
+            e = max(0, int(m).bit_length() - 40)
+            return plain, EncodeStats(
+                max_abs_small=np.float64(m * 2.0 ** -e), exponent=e)
+        bound = float(scale) * float(np.max(np.abs(values), initial=0.0))
+        s_small, pow2e, pow2e_sh = emb.scale_split_host(
+            float(scale), bound, cd.coeff_values)
+        e = int(round(math.log2(scale / s_small))) if s_small else 0
+        data, max_small = emb.encode_stats_pipeline_jit(
+            jnp.asarray(values.real), jnp.asarray(values.imag),
+            jnp.asarray(s_small, dtype=jnp.float64),
+            jnp.asarray(pow2e), jnp.asarray(pow2e_sh),
+            self._emb, self._round_tables(cd), cd.ntt)
+        plain = Plaintext(data=data, level=level, is_ntt_form=True,
+                          scale=scale)
+        return plain, EncodeStats(max_abs_small=max_small, exponent=e)
 
     def _encode_host(self, values, scale, level, cd) -> Plaintext:
         n = self.n
@@ -233,6 +306,35 @@ class CKKSEncoder:
         return emb.decode_pipeline_jit(
             plain.data, jnp.asarray(1.0 / plain.scale, dtype=jnp.float64),
             self._emb, self._round_tables(cd), cd.ntt)
+
+    def decode_device_with_stats(self, plain: Plaintext):
+        """Device-resident decode plus a max-error estimate: returns
+        (re, im, max_err) with max_err a DEVICE f64 scalar — the
+        conjugate-symmetry residual of the embedding output, a pure
+        measure of the decode transform's rounding error in slot units
+        (decode-side counterpart of the reference's device max-tracking,
+        ckks_cuda.cu:178-209 gMaxReal). No host readback."""
+        if not plain.is_ntt_form or plain.level is None:
+            raise ValueError("CKKS decode expects an NTT-form plaintext")
+        cd = self.context.get_context_data(plain.level)
+        return emb.decode_stats_pipeline_jit(
+            plain.data, jnp.asarray(1.0 / plain.scale, dtype=jnp.float64),
+            self._emb, self._round_tables(cd), cd.ntt)
+
+    def decode_max_error(self, plain: Plaintext) -> float:
+        """Max rounding-error estimate of decoding `plain`, in slot units.
+
+        PERF WARNING: materializes a device scalar (readback) — use
+        decode_device_with_stats inside timed windows."""
+        if self.host:
+            # host oracle: conjugate-symmetry residual of the full ifft
+            coeffs = self._compose_centered(plain) / plain.scale
+            V = np.fft.ifft(coeffs * self._twist) * self.n
+            idx = self._slot_index
+            conj = np.conj(V[self.n - 1 - idx])
+            return float(np.max(np.abs(V[idx] - conj), initial=0.0))
+        _, _, err = self.decode_device_with_stats(plain)
+        return float(np.asarray(err))
 
     def decode(self, plain: Plaintext) -> np.ndarray:
         """Slot values as a host numpy array.

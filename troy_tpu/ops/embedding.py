@@ -608,6 +608,23 @@ def encode_polynomial_pipeline(coeffs, s_small, pow2e, pow2e_shoup,
     return dntt.rns_ntt_forward(rns, ntt_tables)
 
 
+def encode_stats_pipeline(v_re, v_im, s_small, pow2e, pow2e_shoup,
+                          emb: EmbedTables, rt: RnsRoundTables, ntt_tables):
+    """encode_pipeline plus the device max-|coefficient| statistic
+    (reference: src/ckks_cuda.cu:178-209 gMaxReal, used at :386-407 for
+    the exact magnitude check). Returns (data, max_small) where
+    max_small = max |round(coeffs * s_small)| — the true coefficient
+    magnitude is max_small * 2^E with E the host scale-split exponent
+    (kept split because 2^E can exceed the TPU f64 emulation's ~2^127
+    range). XLA CSEs the shared subexpressions with the rounding path."""
+    from . import ntt as dntt
+    V_re, V_im = scatter_slots(v_re, v_im, emb)
+    coeffs = embed_inverse(V_re, V_im, emb)
+    max_small = jnp.max(jnp.abs(jnp.rint(coeffs * s_small)))
+    rns = round_to_rns_scaled(coeffs, s_small, pow2e, pow2e_shoup, rt)
+    return dntt.rns_ntt_forward(rns, ntt_tables), max_small
+
+
 def decode_pipeline(data, inv_scale, emb: EmbedTables, rt: RnsRoundTables,
                     ntt_tables):
     """NTT-form RNS words (k, n) -> slot values ((n/2,) re, im), on device."""
@@ -615,6 +632,33 @@ def decode_pipeline(data, inv_scale, emb: EmbedTables, rt: RnsRoundTables,
     residues = dntt.rns_ntt_inverse(data, ntt_tables)
     coeffs = compose_centered_device(residues, rt) * inv_scale
     return embed_forward(coeffs, emb)
+
+
+def decode_stats_pipeline(data, inv_scale, emb: EmbedTables,
+                          rt: RnsRoundTables, ntt_tables):
+    """decode_pipeline plus a device max-error estimate.
+
+    The plaintext polynomial has REAL coefficients, so the full embedding
+    output satisfies V[n-1-j] = conj(V[j]) exactly in exact arithmetic;
+    the numerical asymmetry residual
+        max(|Re V[j] - Re V[n-1-j]|, |Im V[j] + Im V[n-1-j]|)
+    is therefore a pure measure of the transform's rounding error in slot
+    units (zero for an exact transform, independent of the input). This
+    is the decode-side counterpart of the reference's device max-tracking
+    kernel (src/ckks_cuda.cu:178-209 gMaxReal). Returns (re, im, max_err)
+    with max_err a device f64 scalar."""
+    from . import ntt as dntt
+    residues = dntt.rns_ntt_inverse(data, ntt_tables)
+    coeffs = compose_centered_device(residues, rt) * inv_scale
+    y_re = coeffs * emb.twist_re
+    y_im = coeffs * emb.twist_im
+    v_re, v_im = _four_step(y_re, y_im, emb, encode=False)
+    idx = emb.slot_index
+    re, im = v_re[idx], v_im[idx]
+    conj_re, conj_im = v_re[emb.n - 1 - idx], v_im[emb.n - 1 - idx]
+    err = jnp.maximum(jnp.max(jnp.abs(re - conj_re)),
+                      jnp.max(jnp.abs(im + conj_im)))
+    return re, im, err
 
 
 def decode_polynomial_pipeline(data, inv_scale, rt: RnsRoundTables,
@@ -629,8 +673,10 @@ def dntt_inverse(data, ntt_tables):
 
 
 encode_pipeline_jit = jax.jit(encode_pipeline)
+encode_stats_pipeline_jit = jax.jit(encode_stats_pipeline)
 encode_polynomial_pipeline_jit = jax.jit(encode_polynomial_pipeline)
 decode_pipeline_jit = jax.jit(decode_pipeline)
+decode_stats_pipeline_jit = jax.jit(decode_stats_pipeline)
 decode_polynomial_pipeline_jit = jax.jit(
     lambda data, inv_scale, rt, ntt_tables:
     compose_centered_device(dntt_inverse(data, ntt_tables), rt) * inv_scale)

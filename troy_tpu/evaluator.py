@@ -211,7 +211,24 @@ def _switch_key_decompose(target: jnp.ndarray, cd: ContextData,
             rows.append(tj)
         cols.append(jnp.stack(rows))
     t_mat = jnp.stack(cols, axis=1)            # (k_j, used, n)
-    return dntt.rns_ntt_forward(t_mat, used_tables)   # fully reduced
+
+    # NTT the digit rows grouped by data-prime width: row j's entries are
+    # < min(q_j, p_i), so a 40-bit data prime lifted into a 60-bit key
+    # prime runs 8x6 MXU plane pairs instead of 8x8 (ntt_mxu
+    # x_planes; everything stays bit-exact — the fold is mod p_i either
+    # way). Rows regroup to the original order afterwards.
+    by_bits = {}
+    for j in range(k):
+        bits = int(cd.coeff_values[j]).bit_length()
+        by_bits.setdefault(bits, []).append(j)
+    out_rows: List[Optional[jnp.ndarray]] = [None] * k
+    for bits, js in sorted(by_bits.items()):
+        sub = t_mat[js[0]][None] if len(js) == 1 else \
+            jnp.stack([t_mat[j] for j in js])
+        res = dntt.rns_ntt_forward(sub, used_tables, x_bound_bits=bits)
+        for idx, j in enumerate(js):
+            out_rows[j] = res[idx]
+    return jnp.stack(out_rows)                 # fully reduced
 
 
 def _switch_key_contract(t_hat: jnp.ndarray, key: jnp.ndarray,
@@ -247,8 +264,15 @@ def _switch_key_contract(t_hat: jnp.ndarray, key: jnp.ndarray,
                                               q_used, crl, crh))
 
     # ---- divide by the special prime, per component ----
+    # The per-limb corrections run as STACKED (k, n) kernels with the
+    # per-limb constants broadcast from (k, 1) arrays — one fused pass
+    # instead of a chain of per-limb scalar kernels (the reference's
+    # UtilE/F/G launches, evaluator_cuda.cu:1299-1361).
     key_rns = key_cd.rns_tool
-    cr_sp_hi = ((1 << 128) // p_sp) >> 64
+    qk = cd.ntt.q.reshape(k, 1)                     # (k, 1) data moduli
+    crh_k = cd.ntt.cr_hi.reshape(k, 1)
+    psp_mod = np.array([p_sp % qv for qv in cd.coeff_values],
+                       dtype=np.uint64).reshape(k, 1)
     outs = []
     for c in range(2):
         x = prods[c]                           # (used, n) NTT
@@ -260,25 +284,23 @@ def _switch_key_contract(t_hat: jnp.ndarray, key: jnp.ndarray,
                               t_plain)
             if key_rns.inv_q_last_mod_t != 1:
                 neg_k = drns.smul(neg_k, key_rns.inv_q_last_mod_t, t_plain)
-            temps = []
-            for i in range(k):
-                qi = cd.coeff_values[i]
-                cr_hi = ((1 << 128) // qi) >> 64
-                delta = u.barrett_reduce_64(neg_k, qi, cr_hi)
-                delta = drns.smul(delta, p_sp % qi, qi)
-                c_last_qi = u.barrett_reduce_64(last, qi, cr_hi)
-                temps.append(u.add_mod(delta, c_last_qi, qi))
+            # delta_i = ((-c_last mod t) * q_last^-1 mod t) * (P mod q_i),
+            # then temp_i = delta_i + (c_last mod q_i), all limbs at once
+            delta = u.barrett_reduce_64(neg_k[None, :], qk, crh_k)
+            psp_shoup = np.array(
+                [u.shoup_quotient(p_sp % qv, qv) for qv in cd.coeff_values],
+                dtype=np.uint64).reshape(k, 1)
+            delta = u.mul_mod_shoup(delta, jnp.asarray(psp_mod),
+                                    jnp.asarray(psp_shoup), qk)
+            c_last = u.barrett_reduce_64(last[None, :], qk, crh_k)
+            temp = u.add_mod(delta, c_last, qk)
         else:
             half = p_sp >> 1
             last = u.add_mod(last, u.u64(half), p_sp)
-            temps = []
-            for i in range(k):
-                qi = cd.coeff_values[i]
-                cr_hi = ((1 << 128) // qi) >> 64
-                tmp = u.barrett_reduce_64(last, qi, cr_hi) if qi < p_sp else last
-                temps.append(u.sub_mod(u.reduce_2q(tmp, qi),
-                                       u.u64(half % qi), qi))
-        temp = jnp.stack(temps)                # (k, n) coeff domain
+            half_mod = np.array([half % qv for qv in cd.coeff_values],
+                                dtype=np.uint64).reshape(k, 1)
+            tmp = u.barrett_reduce_64(last[None, :], qk, crh_k)
+            temp = u.sub_mod(tmp, jnp.asarray(half_mod), qk)
         body = x[:-1]                          # (k, n) NTT over q_0..q_{k-1}
         if is_ntt_scheme:
             temp = dntt.rns_ntt_forward(temp, cd.ntt)

@@ -283,16 +283,32 @@ def _bshape(t: RnsNttTables, lead_len: int, m: int) -> Tuple[int, ...]:
     return (1,) * lead_len + (t.k, m, 1)
 
 
-@partial(jax.jit, static_argnames=("lazy",))
+@partial(jax.jit, static_argnames=("lazy", "x_bound_bits"))
 def rns_ntt_forward(x: jnp.ndarray, t: RnsNttTables,
-                    lazy: bool = False) -> jnp.ndarray:
+                    lazy: bool = False,
+                    x_bound_bits: Optional[int] = None) -> jnp.ndarray:
     """Forward NTT of every limb: (..., k, n) -> (..., k, n).
 
     Dispatches to the MXU 4-step transform when available (its output is
-    always fully reduced, which satisfies every lazy-bound caller)."""
+    always fully reduced, which satisfies every lazy-bound caller).
+
+    x_bound_bits (static): caller-asserted magnitude bound — every input
+    value is < 2^x_bound_bits (any representative of its residue class).
+    The MXU path then sizes each limb's X digit planes to the bound and
+    skips the entry normalization (see ntt_mxu.ntt_forward_mxu); narrow
+    values entering wide-prime transforms run proportionally fewer MXU
+    plane pairs. Ignored by the butterfly path."""
     if t.mxu is not None:
+        planes = [0] * t.k
+        if x_bound_bits is not None:
+            need = ntt_mxu._ndigits_value((1 << x_bound_bits) - 1)
+            # only profitable when the bound is tighter than the modulus
+            # width; otherwise let the entry Barrett shrink the operand
+            planes = [need if need <= t.mxu[i].w1_digits.shape[0] else 0
+                      for i in range(t.k)]
         return jnp.stack(
-            [ntt_mxu.ntt_forward_mxu(x[..., i, :], t.mxu[i])
+            [ntt_mxu.ntt_forward_mxu(x[..., i, :], t.mxu[i],
+                                     x_planes=planes[i])
              for i in range(t.k)], axis=-2)
     n = t.n
     lead = x.shape[:-2]

@@ -47,8 +47,13 @@ def _ndigits(q: int) -> int:
     40-bit primes vs 8 for 60-bit — narrow moduli shrink BOTH matmul
     operands, so a 40-bit limb's NTT runs 6x6 plane pairs instead of 8x8
     (44% fewer MXU MACs)."""
+    return _ndigits_value(q - 1)
+
+
+def _ndigits_value(v: int) -> int:
+    """Planes whose signed-digit envelope covers values in [0, v]."""
     m = 1
-    while 127 * ((1 << (8 * m)) - 1) // 255 < q - 1:
+    while 127 * ((1 << (8 * m)) - 1) // 255 < v:
         m += 1
     return m
 
@@ -213,31 +218,37 @@ def _digits_device(x: jnp.ndarray, ndig: int) -> jnp.ndarray:
 
 
 def _mod_matmul(w_digits: jnp.ndarray, x: jnp.ndarray, q: int,
-                contract_left: bool) -> jnp.ndarray:
+                contract_left: bool, x_planes: int = 0) -> jnp.ndarray:
     """Exact (W @ X) mod q (or (X @ W) if not contract_left).
 
     w_digits: (Dw, R, R) int8 with Dw = _ndigits(q); x: (..., R, C) u64
     residues < q. One int8 MXU matmul over the stacked digit planes,
     diagonal-group regrouped in radix 2^32, Shoup-folded to [0, q).
+
+    x_planes (static, 0 = same as Dw): plane count for the X operand —
+    callers with a tighter input bound (e.g. the key-switch decomposition
+    rows of a narrow data prime lifted into a wide key prime) shrink the
+    X side of the MXU product from Dw*Dw to Dw*x_planes plane pairs.
     """
-    D = w_digits.shape[0]                    # per-modulus plane count
-    xd = _digits_device(x, D)                # (D, ..., R, C)
+    D = w_digits.shape[0]                    # per-modulus plane count (W)
+    Dx = x_planes or D
+    xd = _digits_device(x, Dx)               # (Dx, ..., R, C)
     # contraction via dot_general: stack W planes on rows, X planes on cols
     if contract_left:
-        # (D*R, R) @ (..., R, D*C) -> (..., D*R, D*C)
+        # (D*R, R) @ (..., R, Dx*C) -> (..., D*R, Dx*C)
         lead = x.shape[:-2]
         R, C = x.shape[-2], x.shape[-1]
         wd = w_digits.reshape(D * w_digits.shape[1], w_digits.shape[2])
-        xt = jnp.moveaxis(xd, 0, -2)         # (..., R, D, C)
-        xt = xt.reshape(lead + (R, D * C))
+        xt = jnp.moveaxis(xd, 0, -2)         # (..., R, Dx, C)
+        xt = xt.reshape(lead + (R, Dx * C))
         prod = jax.lax.dot_general(
             wd.astype(jnp.int8), xt,
             dimension_numbers=(((1,), (len(lead),)), ((), ())),
-            preferred_element_type=jnp.int32)     # (D*R', ..., D*C)
-        prod = jnp.moveaxis(prod, 0, -2)          # (..., D*R', D*C)
+            preferred_element_type=jnp.int32)     # (D*R', ..., Dx*C)
+        prod = jnp.moveaxis(prod, 0, -2)          # (..., D*R', Dx*C)
         Rp = w_digits.shape[1]
-        prod = prod.reshape(lead + (D, Rp, D, C))
-        prod = jnp.moveaxis(prod, -2, -3)         # (..., D, D, Rp, C)
+        prod = prod.reshape(lead + (D, Rp, Dx, C))
+        prod = jnp.moveaxis(prod, -2, -3)         # (..., D, Dx, Rp, C)
     else:
         # (..., R, C) @ (C, C'): rows stack the X planes, cols the W planes
         lead = x.shape[:-2]
@@ -245,22 +256,23 @@ def _mod_matmul(w_digits: jnp.ndarray, x: jnp.ndarray, q: int,
         wd = w_digits                              # (D, C, C')
         Cp = wd.shape[2]
         wt = jnp.moveaxis(wd, 0, 1).reshape(C, D * Cp)
-        xt = jnp.moveaxis(xd, 0, -2).reshape(lead + (R * D, C))
+        xt = jnp.moveaxis(xd, 0, -2).reshape(lead + (R * Dx, C))
         prod = jax.lax.dot_general(
             xt, wt,
             dimension_numbers=(((len(lead) + 1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32)      # (..., R*D, D*Cp)
-        prod = prod.reshape(lead + (R, D, D, Cp))  # (r, i, j, p2)
-        prod = jnp.moveaxis(prod, -4, -2)          # (..., D, D, R, Cp)
+            preferred_element_type=jnp.int32)      # (..., R*Dx, D*Cp)
+        prod = prod.reshape(lead + (R, Dx, D, Cp))  # (r, i, j, p2)
+        prod = jnp.moveaxis(prod, -4, -2)           # (..., Dx, D, R, Cp)
+        prod = jnp.swapaxes(prod, -4, -3)           # (..., D, Dx, R, Cp)
 
-    # group by digit-sum s = i + j (i: W digit if contract_left else X digit)
+    # group by digit-sum s = i + j (i: W digit, j: X digit)
     lead2 = prod.shape[:-4]
     rows, cols = prod.shape[-2], prod.shape[-1]
-    n_sums = 2 * D - 1
+    n_sums = D + Dx - 1
     sums = [jnp.zeros(lead2 + (rows, cols), dtype=jnp.int32)
             for _ in range(n_sums)]
     for i in range(D):
-        for j in range(D):
+        for j in range(Dx):
             sums[i + j] = sums[i + j] + prod[..., i, j, :, :]
 
     # radix-2^32 regroup: U_g = sum_{r<4} T_{4g+r} * 2^{8r}   (|U_g| < 2^52)
@@ -283,16 +295,27 @@ def _mod_matmul(w_digits: jnp.ndarray, x: jnp.ndarray, q: int,
     return out
 
 
-@partial(jax.jit, static_argnames=())
-def ntt_forward_mxu(x: jnp.ndarray, t: MxuNttTables) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("x_planes",))
+def ntt_forward_mxu(x: jnp.ndarray, t: MxuNttTables,
+                    x_planes: int = 0) -> jnp.ndarray:
     """Forward negacyclic NTT over the last axis via two MXU matmuls.
     Bit-for-bit the same scrambled output as ops.ntt.ntt_forward, fully
-    reduced to [0, q). Accepts lazy inputs (any u64 residues)."""
+    reduced to [0, q). Accepts lazy inputs (any u64 residues).
+
+    x_planes (static, 0 = modulus-sized): when the CALLER knows a tighter
+    input magnitude bound (values < the x_planes digit envelope), the
+    entry Barrett normalization is skipped — any representative of the
+    residue class feeds the matmul directly (the fold happens mod q
+    anyway) — and stage 1 runs Dw*x_planes plane pairs instead of Dw^2.
+    The key-switch decomposition uses this for narrow data primes lifted
+    into wide key primes (evaluator._switch_key_decompose)."""
     q = t.modulus
     lead = x.shape[:-1]
-    x = u.barrett_reduce_64(x, q, ((1 << 128) // q) >> 64)
+    if not x_planes:
+        x = u.barrett_reduce_64(x, q, ((1 << 128) // q) >> 64)
     c = x.reshape(lead + (t.a, t.b))
-    y = _mod_matmul(t.w1_digits, c, q, contract_left=True)      # (.., A, B)
+    y = _mod_matmul(t.w1_digits, c, q, contract_left=True,
+                    x_planes=x_planes)                          # (.., A, B)
     y = u.mul_mod_shoup(y, t.tw, t.tw_shoup, q)
     z = _mod_matmul(t.w2_digits, y, q, contract_left=False)     # (.., A, B)
     return z.reshape(lead + (t.n,))

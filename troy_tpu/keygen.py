@@ -55,7 +55,18 @@ def _kswitch_key_core(a_seeds: jnp.ndarray, e_seeds: jnp.ndarray,
 
 
 class KeyGenerator:
-    """(keygenerator.h:27)"""
+    """(keygenerator.h:27)
+
+    Setup-cost architecture: like the reference (key generation ALWAYS on
+    the host, results uploaded — keygenerator_cuda.cuh:51-85), all key
+    material is computed in numpy (utils/host_ntt twins the device
+    transforms word-for-word) and uploaded as ONE finished array per key.
+    One-shot setup therefore compiles and loads ZERO device executables —
+    the dominant cost of the previous device-generation path (measured
+    ~30 s of compile+load for relin keys at n=16384 through the axon
+    tunnel vs < 2 s of numpy). The device-threefry sampling path remains
+    for externally supplied secret keys (whose coefficients live only on
+    device)."""
 
     def __init__(self, context: HeContext,
                  secret_key: Optional[SecretKey] = None,
@@ -67,7 +78,7 @@ class KeyGenerator:
         # (randomgen.h:419-427 create() replays the default seed;
         # keygenerator.cpp:294-338 creates one PRNG per row) — so seeded
         # relin/Galois keys are bit-identical to the reference's. The
-        # default path samples on device from threefry streams.
+        # default draws sequentially from one stream (distinct rows).
         self.context = context
         if seed is None and host_sampling:
             import secrets as _secrets
@@ -75,12 +86,15 @@ class KeyGenerator:
         self._seed = seed
         self._host_sampling = host_sampling
         self._prng = rnd.RandomGeneratorFactory.default_factory().create(seed)
+        self._sk_np: Optional[np.ndarray] = None
         if secret_key is not None:
             self._secret_key = secret_key
         else:
             self._secret_key = self._generate_sk()
         # cached NTT-domain powers of s over the key base: powers[p] = s^p
         self._sk_powers: Dict[int, jnp.ndarray] = {1: self._secret_key.data}
+        self._sk_powers_np: Dict[int, np.ndarray] = (
+            {1: self._sk_np} if self._sk_np is not None else {})
 
     def _fresh_gen(self) -> rnd.UniformRandomGenerator:
         """A replay of the seed stream (reference factory create())."""
@@ -88,11 +102,12 @@ class KeyGenerator:
 
     # ---- secret key (keygenerator.cpp generateSk) ----
     def _generate_sk(self) -> SecretKey:
+        from .utils import host_ntt as hntt
         cd = self.context.key_context_data
         s = rnd.sample_poly_ternary(self._prng, cd.n)
-        s_rns = jnp.asarray(rnd.centered_to_rns(s, cd.coeff_values))
-        s_ntt = dntt.rns_ntt_forward(s_rns, cd.ntt)
-        return SecretKey(data=s_ntt)
+        s_rns = rnd.centered_to_rns(s, cd.coeff_values)
+        self._sk_np = hntt.rns_ntt_forward_np(s_rns, cd.n, cd.coeff_values)
+        return SecretKey(data=jnp.asarray(self._sk_np))
 
     @property
     def secret_key(self) -> SecretKey:
@@ -104,7 +119,12 @@ class KeyGenerator:
         if self._host_sampling:
             ct = rlwe.encrypt_zero_symmetric_reference(
                 cd, self._secret_key, self._fresh_gen(), is_ntt_form=True)
+        elif self._sk_np is not None and not save_seed:
+            data = rlwe.encrypt_zero_symmetric_host_np(
+                cd, self._sk_np, self._prng, is_ntt_form=True)
+            return PublicKey(data=jnp.asarray(data), seed=0)
         else:
+            # save_seed needs the device-threefry expansion semantics
             ct = rlwe.encrypt_zero_symmetric(
                 cd, self._secret_key, self._prng, is_ntt_form=True,
                 save_seed=save_seed)
@@ -119,24 +139,56 @@ class KeyGenerator:
                 prev, self._secret_key.data, cd.ntt)
         return self._sk_powers[p]
 
-    # ---- generic switching key (keygenerator.cpp:294-338) ----
-    def _generate_one_kswitch_key(self, w_ntt: jnp.ndarray) -> jnp.ndarray:
-        """w_ntt: (>=decomp, n) NTT-form target over the key base prefix.
-        Returns the dense key array (decomp, 2, key_limbs, n).
+    def _sk_power_np(self, p: int) -> np.ndarray:
+        from .utils import host_ntt as hntt
+        if p not in self._sk_powers_np:
+            cd = self.context.key_context_data
+            prev = self._sk_power_np(p - 1)
+            self._sk_powers_np[p] = hntt.rns_dyadic_mul_np(
+                prev, self._sk_np, cd.n, cd.coeff_values)
+        return self._sk_powers_np[p]
 
-        All decomposition rows are produced by ONE fused executable
-        (device-threefry sampling inside), so a whole switching key costs a
-        single dispatch instead of per-row round trips."""
+    # ---- generic switching key (keygenerator.cpp:294-338) ----
+    def _kswitch_key_host(self, w_ntt_np: np.ndarray,
+                          reference_replay: bool) -> jnp.ndarray:
+        """Host-computed switching key: decomp zero encryptions + the
+        P*w term on c0's limb j of row j, all numpy, uploaded once
+        (keygenerator.cpp:294-338 generateOneKswitchKey; the host-then-
+        upload architecture of keygenerator_cuda.cuh:51-85)."""
+        from .utils import host_ntt as hntt
+        from .utils.ntt_tables import make_ntt_tables
+        key_cd = self.context.key_context_data
+        key_values = key_cd.coeff_values
+        n = key_cd.n
+        decomp = len(key_values) - 1
+        p_special = key_values[-1]
+        rows = []
+        for j in range(decomp):
+            gen = self._fresh_gen() if reference_replay else self._prng
+            zero = rlwe.encrypt_zero_symmetric_host_np(
+                key_cd, self._sk_np, gen, is_ntt_form=True)
+            qj = int(key_values[j])
+            cr = make_ntt_tables(n, qj).const_ratio
+            term = hntt.mul_mod(w_ntt_np[j], np.uint64(p_special % qj),
+                                qj, cr)
+            zero[0, j] = hntt.add_mod(zero[0, j], term, qj)
+            rows.append(zero)
+        return jnp.asarray(np.stack(rows))   # one upload per key
+
+    def _generate_one_kswitch_key(self, w_ntt) -> jnp.ndarray:
+        """w_ntt: (>=decomp, n) NTT-form target over the key base prefix
+        (numpy for the host path, device array for external targets).
+        Returns the dense key array (decomp, 2, key_limbs, n)."""
         ctx = self.context
         if not ctx.using_keyswitching:
             raise ValueError("parameters do not support keyswitching "
                              "(need >= 2 coefficient moduli)")
         key_cd = ctx.key_context_data
         decomp = len(key_cd.coeff_values) - 1
+        if self._sk_np is not None and isinstance(w_ntt, np.ndarray):
+            return self._kswitch_key_host(w_ntt, self._host_sampling)
         if self._host_sampling:
-            # reference-exact: one host-sampled zero encryption per row,
-            # each replaying the seed stream; c0 limb j += (P mod q_j)*w_j
-            # (keygenerator.cpp:294-338 generateOneKswitchKey)
+            # reference-exact per-row replay, device compute (external sk)
             key_values = key_cd.coeff_values
             p_special = key_values[-1]
             rows = []
@@ -161,8 +213,10 @@ class KeyGenerator:
         if count < 1 or count > 14:  # SEAL_CIPHERTEXT_SIZE_MAX - 2
             raise ValueError("invalid count")
         keys = {}
+        host = self._sk_np is not None
         for p in range(2, count + 2):
-            keys[p] = self._generate_one_kswitch_key(self._sk_power(p))
+            w = self._sk_power_np(p) if host else self._sk_power(p)
+            keys[p] = self._generate_one_kswitch_key(w)
         return RelinKeys(keys=keys)
 
     # ---- Galois keys (keygenerator.cpp:162, createAutomorphismKeys) ----
@@ -175,8 +229,13 @@ class KeyGenerator:
                 elts = galois_util.get_elts_from_steps(n, steps)
             else:
                 elts = galois_util.get_elts_all(n)
-        key_cd = ctx.key_context_data
         keys = {}
+        if self._sk_np is not None:
+            for elt in elts:
+                perm = galois_util.ntt_permutation(n, elt)
+                rotated = np.take(self._sk_np, perm, axis=-1)
+                keys[int(elt)] = self._generate_one_kswitch_key(rotated)
+            return GaloisKeys(keys=keys)
         sk = self._secret_key.data                 # (key_limbs, n) NTT
         for elt in elts:
             perm = galois_util.ntt_permutation_dev(n, elt)

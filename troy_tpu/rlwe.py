@@ -187,6 +187,49 @@ def encrypt_zero_symmetric_reference(
                       correction_factor=1, seed=0)
 
 
+def encrypt_zero_symmetric_host_np(
+        cd: ContextData,
+        sk_np: np.ndarray,
+        generator: rnd.UniformRandomGenerator,
+        is_ntt_form: bool,
+) -> np.ndarray:
+    """Fully host-side symmetric zero encryption (numpy in, numpy out) —
+    the keygen fast path. Same PRNG draw order as
+    encrypt_zero_symmetric_reference and the same canonical arithmetic as
+    _zero_sym_reference_core (host_ntt twins the device transforms
+    word-for-word), so the result is bit-identical to the device path for
+    the same stream — but costs ZERO device executables: the reference's
+    own architecture (keygen on host, upload the product,
+    keygenerator_cuda.cuh:51-85)."""
+    from .utils import host_ntt as hntt
+    n = cd.n
+    mods = list(cd.coeff_values)
+    k = len(mods)
+    public_seed = generator.generate(rnd.PRNG_SEED_BYTES)
+    ct_prng = rnd.UniformRandomGenerator(public_seed)
+    c1_ntt = rnd.sample_poly_uniform(ct_prng, n, mods)       # (k, n) NTT
+    noise = rnd.centered_to_rns(rnd.sample_poly_cbd(generator, n), mods)
+    sk_lvl = sk_np[:k]
+    c0 = hntt.rns_dyadic_mul_np(sk_lvl, c1_ntt, n, mods)
+    t_plain = int(cd.plain_modulus) if cd.scheme == SchemeType.bgv else 1
+    if is_ntt_form:
+        nz = hntt.rns_ntt_forward_np(noise, n, mods)
+        c1 = c1_ntt
+    else:
+        c0 = hntt.rns_ntt_inverse_np(c0, n, mods)
+        nz = noise
+        c1 = hntt.rns_ntt_inverse_np(c1_ntt, n, mods)
+    from .utils.ntt_tables import make_ntt_tables
+    for i, q in enumerate(mods):
+        if t_plain != 1:
+            cr = make_ntt_tables(n, int(q)).const_ratio
+            nz_i = hntt.mul_mod(nz[i], np.uint64(t_plain % q), int(q), cr)
+        else:
+            nz_i = nz[i]
+        c0[i] = hntt.neg_mod(hntt.add_mod(nz_i, c0[i], int(q)), int(q))
+    return np.stack([c0, c1])
+
+
 def encrypt_zero_symmetric(
         cd: ContextData,
         sk: SecretKey,

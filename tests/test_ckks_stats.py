@@ -94,3 +94,17 @@ def test_borderline_encode_uses_exact_check(ctx):
         encd.encode(vals_bad, scale)
     with pytest.raises(ValueError):
         host.encode(vals_bad, scale)
+
+
+def test_encode_device_matches_encode(ctx):
+    import jax.numpy as jnp
+    encd = T.CKKSEncoder(ctx)
+    rng = np.random.default_rng(8)
+    vals = rng.normal(size=N // 2) + 1j * rng.normal(size=N // 2)
+    scale = 2.0 ** 40
+    host_plain = encd.encode(vals, scale)
+    dev_plain = encd.encode_device(
+        jnp.asarray(vals.real), jnp.asarray(vals.imag), scale,
+        max_abs=float(np.max(np.abs(vals))))
+    np.testing.assert_array_equal(np.asarray(dev_plain.data),
+                                  np.asarray(host_plain.data))

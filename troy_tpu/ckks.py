@@ -155,6 +155,35 @@ class CKKSEncoder:
         return Plaintext(data=data, level=level, is_ntt_form=True,
                          scale=scale)
 
+    def encode_device(self, values_re, values_im, scale: float,
+                      max_abs: float, level: Optional[int] = None
+                      ) -> Plaintext:
+        """Device-resident encode: slot values already ON DEVICE as f64
+        (re, im) arrays — the perf-surface entry (counterpart of
+        decode_device; no host upload inside a timed window). ``max_abs``
+        is a host-known bound on max |values| (needed for the host-side
+        scale split; a device readback here would defeat the purpose).
+        Raises if the conservative bound scale*max_abs cannot fit."""
+        ctx = self.context
+        if level is None:
+            level = ctx.first_level
+        cd = ctx.get_context_data(level)
+        if self.host:
+            raise ValueError("encode_device requires the device encoder")
+        bound = float(scale) * float(max_abs)
+        if bound >= cd.total_coeff_modulus / 2:
+            raise ValueError("encoded values are too large for the "
+                             "coefficient modulus at this level")
+        s_small, pow2e, pow2e_sh = emb.scale_split_host(
+            float(scale), bound, cd.coeff_values)
+        data = emb.encode_pipeline_jit(
+            values_re, values_im,
+            jnp.asarray(s_small, dtype=jnp.float64),
+            jnp.asarray(pow2e), jnp.asarray(pow2e_sh),
+            self._emb, self._round_tables(cd), cd.ntt)
+        return Plaintext(data=data, level=level, is_ntt_form=True,
+                         scale=scale)
+
     def encode_with_stats(self, values: Union[Sequence[complex], np.ndarray],
                           scale: float, level: Optional[int] = None
                           ) -> Tuple[Plaintext, EncodeStats]:

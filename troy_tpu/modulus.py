@@ -18,7 +18,13 @@ from .utils import numth
 MOD_BIT_COUNT_MAX = 61          # internal moduli (SEAL_MOD_BIT_COUNT_MAX)
 USER_MOD_BIT_COUNT_MAX = 60     # user-facing moduli
 PLAIN_MOD_BIT_COUNT_MAX = 60
-POLY_MOD_DEGREE_MAX = 131072
+# The reference caps N at 131072 because its scaling unit is one GPU
+# (reference: src/utils/defines.h:30 SEAL_POLY_MOD_DEGREE_MAX).
+# Coefficient sharding over a device mesh lifts that: degrees beyond the
+# reference's ceiling run end-to-end (benchmarks/nceiling.py at 262144,
+# bit-exact vs a single-device replay). The cap below is a sanity bound
+# on table precompute, not a device limit.
+POLY_MOD_DEGREE_MAX = 1 << 20
 POLY_MOD_DEGREE_MIN = 2
 CIPHERTEXT_SIZE_MAX = 16
 CIPHERTEXT_SIZE_MIN = 2

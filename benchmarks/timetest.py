@@ -120,6 +120,17 @@ def main():
     timeit("Decrypt", lambda: dec.decrypt(ct1), reps=10)
     pt_dec = dec.decrypt(ct1)
     if scheme == T.SchemeType.ckks:
+        # device-resident encode: slot values pre-staged on device, no
+        # upload inside the window (counterpart of the decode row below)
+        import jax.numpy as jnp
+        v_re = jnp.asarray(vals.astype(np.float64))
+        v_im = jnp.zeros_like(v_re)
+        mx = float(np.max(np.abs(vals)))
+        block((v_re, v_im))
+        timeit("Encode (device-resident)",
+               lambda: encd.encode_device(v_re, v_im, scale, mx).data)
+        timeit("Decode (device-resident)",
+               lambda: encd.decode_device(pt_dec))
         timeit("Encode", lambda: encd.encode(vals, scale=scale), reps=10)
         timeit("Decode", lambda: encd.decode(pt_dec), reps=10)
     else:

@@ -10,7 +10,12 @@ Phases run in protocol order; device-compute phases (matmul, pack) execute
 before the first device->host readback (serialize), so they are measured
 in the harness's undegraded mode.
 
-Usage: python benchmarks/linear_bench.py [batch] [in] [out]
+Usage: python benchmarks/linear_bench.py [batch] [in] [out] [pack]
+  pack: 1 (default) = LWE output packing + ct x ct variant, the reference
+  main's testMatmulCipherInts(64, 128, 256, true) config;
+  0 = plain-weight matmul with saveTerms output serialization, the
+  reference main's commented testMatmulInts(128, 500, 1001, false) config
+  (test/app/linear.cu:581).
 """
 
 import os
@@ -33,6 +38,7 @@ def main():
     bs = int(sys.argv[1]) if len(sys.argv) > 1 else 64
     ind = int(sys.argv[2]) if len(sys.argv) > 2 else 128
     outd = int(sys.argv[3]) if len(sys.argv) > 3 else 256
+    pack = bool(int(sys.argv[4])) if len(sys.argv) > 4 else True
     n = 16384
 
     parms = T.EncryptionParameters(
@@ -46,16 +52,17 @@ def main():
     dec = T.Decryptor(ctx, kg.secret_key)
     ev = T.Evaluator(ctx)
     be = T.BatchEncoder(ctx)
-    auto_keys = kg.create_automorphism_keys()
+    auto_keys = kg.create_automorphism_keys() if pack else None
     print(f"[setup {time.time()-t0:.1f}s] matmul {bs}x{ind}x{outd} "
-          f"n={n} packLwe", flush=True)
+          f"n={n} {'packLwe' if pack else 'saveTerms (no packing)'}",
+          flush=True)
 
     t_mod = int(parms.plain_modulus)
     rng = np.random.default_rng(12)
     x = rng.integers(0, 1 << 8, (bs, ind), dtype=np.uint64)
     w = rng.integers(0, 1 << 8, (ind, outd), dtype=np.uint64)
 
-    helper = MatmulHelper(bs, ind, outd, n, objective=0, pack_lwe=True)
+    helper = MatmulHelper(bs, ind, outd, n, objective=0, pack_lwe=pack)
 
     def phase(name, fn):
         t0 = time.time()
@@ -72,18 +79,22 @@ def main():
     y_ct = phase("matmul", lambda: helper.matmul(ev, x_ct, w_enc))
     # warm compile separated from steady-state timing
     y_ct2 = phase("matmul (warm)", lambda: helper.matmul(ev, x_ct, w_enc))
-    packed = phase("pack outputs (LWE tree)",
-                   lambda: helper.pack_outputs(ev, auto_keys, y_ct))
-    packed = phase("pack outputs (warm)",
-                   lambda: helper.pack_outputs(ev, auto_keys, y_ct2))
-    # ct x ct variant (the reference main's testMatmulCipherInts config,
-    # test/app/linear.cu:575-584)
-    w_ct = phase("encrypt weights (ct x ct)",
-                 lambda: helper.encode_weights(be.encode_polynomial, w)
-                 .encrypt_symmetric(enc))
-    yc = phase("matmul ct x ct", lambda: helper.matmul_cipher(ev, x_ct, w_ct))
-    yc = phase("matmul ct x ct (warm)",
-               lambda: helper.matmul_cipher(ev, x_ct, w_ct))
+    if pack:
+        packed = phase("pack outputs (LWE tree)",
+                       lambda: helper.pack_outputs(ev, auto_keys, y_ct))
+        packed = phase("pack outputs (warm)",
+                       lambda: helper.pack_outputs(ev, auto_keys, y_ct2))
+        # ct x ct variant (the reference main's testMatmulCipherInts config,
+        # test/app/linear.cu:575-584)
+        w_ct = phase("encrypt weights (ct x ct)",
+                     lambda: helper.encode_weights(be.encode_polynomial, w)
+                     .encrypt_symmetric(enc))
+        yc = phase("matmul ct x ct",
+                   lambda: helper.matmul_cipher(ev, x_ct, w_ct))
+        yc = phase("matmul ct x ct (warm)",
+                   lambda: helper.matmul_cipher(ev, x_ct, w_ct))
+    else:
+        packed = y_ct2
 
     blob = phase("serialize outputs",
                  lambda: helper.serialize_outputs(ev, ctx, packed))

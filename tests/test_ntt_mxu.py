@@ -47,22 +47,25 @@ def test_roundtrip_large():
 
 
 def test_ndigits_bound_tight():
-    """The per-modulus digit-plane count must hold for the WORST residue
-    (q-1) at every standard prime width — the greedy byte+carry
-    decomposition asserts internally if a value needs an extra plane."""
-    from troy_tpu.ops.ntt_mxu import _ndigits, _signed_digits_host
+    """The per-modulus byte-plane count must hold for the WORST residue
+    (q-1) at every standard prime width — the biased decomposition asserts
+    internally if a value needs an extra plane — and reconstruct exactly
+    with the +128 bias."""
+    from troy_tpu.ops.ntt_mxu import _ndigits, _biased_digits_host
     import troy_tpu as T
     for bits in (30, 36, 40, 48, 50, 55, 59, 60):
         q = int(T.CoeffModulus.create(4096, [bits])[0])
         nd = _ndigits(q)
+        assert nd == (bits + 7) // 8
         worst = np.array([[q - 1, q // 2, 1, 0]], dtype=np.uint64)
-        planes = _signed_digits_host(worst, nd)   # asserts on overflow
-        # and the planes reconstruct exactly
-        rec = sum(int(planes[p, 0, 0]) * (1 << (8 * p)) for p in range(nd))
-        assert rec == q - 1
+        planes = _biased_digits_host(worst, nd)   # asserts on overflow
+        for col, v in enumerate((q - 1, q // 2, 1, 0)):
+            rec = sum((int(planes[p, 0, col]) + 128) * (1 << (8 * p))
+                      for p in range(nd))
+            assert rec == v
         # the count is minimal (one fewer plane must fail for max values)
-        if nd > 1:
+        if nd > 1 and 8 * (nd - 1) < 64:
             import pytest
             with pytest.raises(AssertionError):
-                _signed_digits_host(np.array([[q - 1]], dtype=np.uint64),
+                _biased_digits_host(np.array([[q - 1]], dtype=np.uint64),
                                     nd - 1)

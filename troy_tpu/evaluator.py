@@ -214,7 +214,7 @@ def _switch_key_decompose(target: jnp.ndarray, cd: ContextData,
 
     # NTT the digit rows grouped by data-prime width: row j's entries are
     # < min(q_j, p_i), so a 40-bit data prime lifted into a 60-bit key
-    # prime runs 8x6 MXU plane pairs instead of 8x8 (ntt_mxu
+    # prime runs 8x5 MXU plane pairs instead of 8x8 (ntt_mxu
     # x_planes; everything stays bit-exact — the fold is mod p_i either
     # way). Rows regroup to the original order afterwards.
     by_bits = {}

@@ -14,12 +14,21 @@ constant matrices absorbing the negacyclic twist (psi^k), the 1/n scaling
 twiddle grid. Two MXU passes + one VPU twiddle pass replace log2(n) HBM
 sweeps.
 
-Exact integer semantics on a float/int8 systolic array via signed radix-256
-digit planes: x = sum_i 2^{8i} d_i with d_i in [-128, 127]. A digit-plane
-product W @ C becomes one int8 matmul of the stacked planes with i32
-accumulation (max |d|^2 * contraction = 128^2*128 = 2^21 per plane pair,
-summed over <=15 diagonal groups — far inside i32). Digit products are
-regrouped in radix 2^32 before the final Shoup fold back to [0, q).
+Exact integer semantics on a float/int8 systolic array via BIASED byte
+planes: x = sum_i 2^{8i} (d_i + 128) with d_i = byte_i(x) - 128 in
+[-128, 127] — a full 8 bits of payload per int8 plane, so a value of b bits
+needs exactly ceil(b/8) planes (5 for 40-bit primes vs 8 for 60-bit; the
+carry-bounded signed-digit scheme this replaced needed 6). The constant
++128 bias unfolds EXACTLY outside the matmul:
+
+    W @ X = T @ S + 128 * rowsum(T) + 128 * colsum(S) + 128^2 * K
+
+where T/S are the biased planes, rowsum(T) is a host-precomputed per-plane
+constant, colsum(S) is one cheap device reduction per X plane, and K is the
+contraction length. A digit-plane product W @ C is then one int8 matmul of
+the stacked planes with i32 accumulation; plane products are regrouped in
+radix 2^32 (with a statically-derived signed-offset bound) before the final
+Shoup fold back to [0, q).
 """
 
 from __future__ import annotations
@@ -37,25 +46,22 @@ from .. import native
 from ..utils import numth
 
 U64 = jnp.uint64
-DIGITS = 8          # max radix-256 planes (61-bit moduli)
+DIGITS = 8          # max byte planes (61-bit moduli)
 
 
 def _ndigits(q: int) -> int:
-    """Signed radix-256 digit planes needed for residues in [0, q): the
-    smallest m with max_m = 127 * (256^m - 1) / 255 >= q - 1 (the greedy
-    byte+carry decomposition never exceeds that envelope). 6 planes for
-    40-bit primes vs 8 for 60-bit — narrow moduli shrink BOTH matmul
-    operands, so a 40-bit limb's NTT runs 6x6 plane pairs instead of 8x8
-    (44% fewer MXU MACs)."""
+    """Biased byte planes needed for residues in [0, q): exactly
+    ceil(bitlen(q-1)/8), since each int8 plane carries a full byte of
+    payload (bias corrected outside the matmul — see _mod_matmul). 5
+    planes for 40-bit primes vs 8 for 60-bit — narrow moduli shrink BOTH
+    matmul operands, so a 40-bit limb's NTT runs 5x5 plane pairs instead
+    of 8x8 (61% fewer MXU MACs)."""
     return _ndigits_value(q - 1)
 
 
 def _ndigits_value(v: int) -> int:
-    """Planes whose signed-digit envelope covers values in [0, v]."""
-    m = 1
-    while 127 * ((1 << (8 * m)) - 1) // 255 < v:
-        m += 1
-    return m
+    """Byte planes covering values in [0, v]."""
+    return max(1, (int(v).bit_length() + 7) // 8)
 
 
 def _split_factors(n: int) -> Tuple[int, int]:
@@ -65,8 +71,31 @@ def _split_factors(n: int) -> Tuple[int, int]:
     return a, n // a
 
 
+def _biased_digits_host(mat: np.ndarray, ndig: int) -> np.ndarray:
+    """u64 matrix -> (ndig, ...) int8 biased byte planes: plane i stores
+    byte_i(x) - 128, so x = sum_i 2^{8i} (plane_i + 128). Exact for
+    x < 2^{8*ndig} (asserted)."""
+    m = np.asarray(mat, dtype=np.uint64)
+    if 8 * ndig < 64:
+        assert not (m >> np.uint64(8 * ndig)).any(), \
+            "value exceeds the byte-plane range"
+    planes = np.stack(
+        [((m >> np.uint64(8 * i)) & np.uint64(0xFF)).astype(np.int16)
+         for i in range(ndig)])
+    return (planes - np.int16(128)).astype(np.int8)
+
+
+def _plane_sums(planes: np.ndarray, axis: int) -> np.ndarray:
+    """Per-plane sums of the biased digits over the contraction axis —
+    the host-precomputed half of the bias correction (i32)."""
+    return planes.astype(np.int32).sum(axis=axis)
+
+
 def _signed_digits_host(mat: np.ndarray, ndig: int = DIGITS) -> np.ndarray:
-    """u64 matrix -> (ndig, ...) int8 signed radix-256 planes (exact)."""
+    """u64 matrix -> (ndig, ...) int8 signed radix-256 planes (exact).
+    Legacy scheme kept as the oracle for the native engine's
+    signed_digits_fill (tests/test_native.py); the transform itself now
+    uses _biased_digits_host."""
     out = np.zeros((ndig,) + mat.shape, dtype=np.int64)
     rem = mat.astype(object)
     carry = np.zeros(mat.shape, dtype=object)
@@ -84,12 +113,16 @@ class MxuNttTables(struct.PyTreeNode):
     """Constant matrices for one (n, q): forward and inverse 4-step factors,
     as int8 digit planes (matmul operands) plus u64 twiddles (VPU pass)."""
 
-    w1_digits: jnp.ndarray       # (DIGITS, A, A) int8
-    w2_digits: jnp.ndarray       # (DIGITS, B, B) int8
+    w1_digits: jnp.ndarray       # (D, A, A) int8 biased byte planes
+    w1_sums: jnp.ndarray         # (D, A) i32 plane sums over contraction
+    w2_digits: jnp.ndarray       # (D, B, B) int8
+    w2_sums: jnp.ndarray         # (D, B) i32
     tw: jnp.ndarray              # (A, B) u64
     tw_shoup: jnp.ndarray        # (A, B) u64
-    iw1_digits: jnp.ndarray      # (DIGITS, A, A) int8
-    iw2_digits: jnp.ndarray      # (DIGITS, B, B) int8
+    iw1_digits: jnp.ndarray      # (D, A, A) int8
+    iw1_sums: jnp.ndarray        # (D, A) i32
+    iw2_digits: jnp.ndarray      # (D, B, B) int8
+    iw2_sums: jnp.ndarray        # (D, B) i32
     itw: jnp.ndarray             # (A, B) u64
     itw_shoup: jnp.ndarray       # (A, B) u64
     n: int = struct.field(pytree_node=False)
@@ -157,42 +190,56 @@ def make_mxu_tables(n: int, q: int) -> MxuNttTables:
     tests/test_native.py); falls back to make_mxu_tables_host.
 
     Digit planes are sized to the MODULUS (_ndigits): residues < q need
-    only ceil(bits/8)+carry planes, so narrow primes shrink the matmuls."""
+    exactly ceil(bits/8) biased byte planes, so narrow primes shrink the
+    matmuls."""
     A, B = _split_factors(n)
     nd = _ndigits(q)
     psi = numth.minimal_primitive_root(2 * n, q)
+
+    def planes_and_sums(m, axis):
+        """Biased planes + per-plane contraction sums for one factor matrix:
+        axis is the contraction axis in (R, C) coords (W1/V1 multiply from
+        the left -> contract columns, axis 1; W2/V2 from the right ->
+        contract rows, axis 0)."""
+        pl = _biased_digits_host(m, nd)
+        return (jnp.asarray(pl),
+                jnp.asarray(_plane_sums(pl, axis=1 + axis)))
+
     filled = native.mxu_tables_fill(n, A, B, q, psi)
     if filled is not None:
         w1, tw, w2, v1, itw, v2, tw_shoup, itw_shoup = filled
-
-        def digits(m):
-            full = native.signed_digits_fill(m)      # always 8 planes
-            assert not full[nd:].any(), "digit planes exceed modulus width"
-            return jnp.asarray(np.ascontiguousarray(full[:nd]))
-
+        w1_d, w1_s = planes_and_sums(w1, 1)
+        w2_d, w2_s = planes_and_sums(w2, 0)
+        v1_d, v1_s = planes_and_sums(v1, 1)
+        v2_d, v2_s = planes_and_sums(v2, 0)
         return MxuNttTables(
-            w1_digits=digits(w1),
-            w2_digits=digits(w2),
+            w1_digits=w1_d, w1_sums=w1_s,
+            w2_digits=w2_d, w2_sums=w2_s,
             tw=jnp.asarray(tw),
             tw_shoup=jnp.asarray(tw_shoup),
-            iw1_digits=digits(v1),
-            iw2_digits=digits(v2),
+            iw1_digits=v1_d, iw1_sums=v1_s,
+            iw2_digits=v2_d, iw2_sums=v2_s,
             itw=jnp.asarray(itw),
             itw_shoup=jnp.asarray(itw_shoup),
             n=n, a=A, b=B, modulus=q,
         )
     A, B, w1, tw, w2, v1, itw, v2 = make_mxu_tables_host(n, q)
     shoup = np.vectorize(lambda w: (int(w) << 64) // q, otypes=[object])
-    as_u64 = lambda m: jnp.asarray(
-        np.array([[int(x) & 0xFFFFFFFFFFFFFFFF for x in row] for row in m],
-                 dtype=np.uint64))
+    as_np_u64 = lambda m: np.array(
+        [[int(x) & 0xFFFFFFFFFFFFFFFF for x in row] for row in m],
+        dtype=np.uint64)
+    as_u64 = lambda m: jnp.asarray(as_np_u64(m))
+    w1_d, w1_s = planes_and_sums(as_np_u64(w1), 1)
+    w2_d, w2_s = planes_and_sums(as_np_u64(w2), 0)
+    v1_d, v1_s = planes_and_sums(as_np_u64(v1), 1)
+    v2_d, v2_s = planes_and_sums(as_np_u64(v2), 0)
     return MxuNttTables(
-        w1_digits=jnp.asarray(_signed_digits_host(w1, nd)),
-        w2_digits=jnp.asarray(_signed_digits_host(w2, nd)),
+        w1_digits=w1_d, w1_sums=w1_s,
+        w2_digits=w2_d, w2_sums=w2_s,
         tw=as_u64(tw),
         tw_shoup=as_u64(shoup(tw)),
-        iw1_digits=jnp.asarray(_signed_digits_host(v1, nd)),
-        iw2_digits=jnp.asarray(_signed_digits_host(v2, nd)),
+        iw1_digits=v1_d, iw1_sums=v1_s,
+        iw2_digits=v2_d, iw2_sums=v2_s,
         itw=as_u64(itw),
         itw_shoup=as_u64(shoup(itw)),
         n=n, a=A, b=B, modulus=q,
@@ -204,26 +251,26 @@ def make_mxu_tables(n: int, q: int) -> MxuNttTables:
 # ---------------------------------------------------------------------------
 
 def _digits_device(x: jnp.ndarray, ndig: int) -> jnp.ndarray:
-    """u64 (..., R, C) -> int8 (ndig, ..., R, C) signed radix-256 planes."""
+    """u64 (..., R, C) -> int8 (ndig, ..., R, C) biased byte planes
+    (byte_i - 128; exact for values < 2^{8*ndig})."""
     planes = []
-    carry = jnp.zeros(x.shape, dtype=jnp.int32)
-    rem = x
     for i in range(ndig):
-        d = (rem & jnp.uint64(0xFF)).astype(jnp.int32) + carry
-        carry = (d >= 128).astype(jnp.int32)
-        d = d - 256 * carry
-        planes.append(d.astype(jnp.int8))
-        rem = rem >> jnp.uint64(8)
+        b = ((x >> jnp.uint64(8 * i)) & jnp.uint64(0xFF)).astype(jnp.int16)
+        planes.append((b - jnp.int16(128)).astype(jnp.int8))
     return jnp.stack(planes)
 
 
-def _mod_matmul(w_digits: jnp.ndarray, x: jnp.ndarray, q: int,
-                contract_left: bool, x_planes: int = 0) -> jnp.ndarray:
+def _mod_matmul(w_digits: jnp.ndarray, w_sums: jnp.ndarray, x: jnp.ndarray,
+                q: int, contract_left: bool, x_planes: int = 0) -> jnp.ndarray:
     """Exact (W @ X) mod q (or (X @ W) if not contract_left).
 
-    w_digits: (Dw, R, R) int8 with Dw = _ndigits(q); x: (..., R, C) u64
-    residues < q. One int8 MXU matmul over the stacked digit planes,
-    diagonal-group regrouped in radix 2^32, Shoup-folded to [0, q).
+    w_digits: (Dw, R, R) int8 biased planes with Dw = _ndigits(q);
+    w_sums: (Dw, R) i32 per-plane sums over W's contraction axis;
+    x: (..., R, C) u64 residues < q (or < 2^{8*x_planes} when given).
+    One int8 MXU matmul over the stacked biased planes; the +128 bias
+    unfolds exactly as rank-1 corrections (precomputed W sums, one device
+    reduction per X plane, and a scalar); plane products are regrouped in
+    radix 2^32 and Shoup-folded to [0, q).
 
     x_planes (static, 0 = same as Dw): plane count for the X operand —
     callers with a tighter input bound (e.g. the key-switch decomposition
@@ -233,6 +280,10 @@ def _mod_matmul(w_digits: jnp.ndarray, x: jnp.ndarray, q: int,
     D = w_digits.shape[0]                    # per-modulus plane count (W)
     Dx = x_planes or D
     xd = _digits_device(x, Dx)               # (Dx, ..., R, C)
+    K = x.shape[-2] if contract_left else x.shape[-1]   # contraction length
+    # X-plane sums over the contraction axis (the device half of the bias
+    # correction): contract_left sums X's rows, right-multiply its columns
+    xs = jnp.sum(xd, axis=(-2 if contract_left else -1), dtype=jnp.int32)
     # contraction via dot_general: stack W planes on rows, X planes on cols
     if contract_left:
         # (D*R, R) @ (..., R, Dx*C) -> (..., D*R, Dx*C)
@@ -265,7 +316,12 @@ def _mod_matmul(w_digits: jnp.ndarray, x: jnp.ndarray, q: int,
         prod = jnp.moveaxis(prod, -4, -2)           # (..., Dx, D, R, Cp)
         prod = jnp.swapaxes(prod, -4, -3)           # (..., D, Dx, R, Cp)
 
-    # group by digit-sum s = i + j (i: W digit, j: X digit)
+    # group by digit-sum s = i + j (i: W digit, j: X digit), folding the
+    # bias corrections in per group:
+    #   sums[s] = sum_{i+j=s} T_i@S_j                       (the matmul)
+    #           + 128 * sum_i w_sums[i]   (broadcast over the free axis)
+    #           + 128 * sum_j xs[j]       (broadcast over the other axis)
+    #           + 128^2 * K * npairs(s)
     lead2 = prod.shape[:-4]
     rows, cols = prod.shape[-2], prod.shape[-1]
     n_sums = D + Dx - 1
@@ -274,10 +330,34 @@ def _mod_matmul(w_digits: jnp.ndarray, x: jnp.ndarray, q: int,
     for i in range(D):
         for j in range(Dx):
             sums[i + j] = sums[i + j] + prod[..., i, j, :, :]
+    bias = jnp.int32(128)
+    for s in range(n_sums):
+        ii = [i for i in range(D) if 0 <= s - i < Dx]
+        wc = w_sums[ii[0]]
+        for i in ii[1:]:
+            wc = wc + w_sums[i]
+        xc = xs[s - ii[0]]
+        for i in ii[1:]:
+            xc = xc + xs[s - i]
+        const = jnp.int32(128 * 128 * K * len(ii))
+        if contract_left:
+            # sums[s]: (..., R', C); wc: (R',); xc: (..., C)
+            corr = bias * wc[:, None] + bias * xc[..., None, :] + const
+        else:
+            # sums[s]: (..., R, C'); wc: (C',); xc: (..., R)
+            corr = bias * wc + bias * xc[..., :, None] + const
+        sums[s] = sums[s] + corr
 
-    # radix-2^32 regroup: U_g = sum_{r<4} T_{4g+r} * 2^{8r}   (|U_g| < 2^52)
+    # radix-2^32 regroup: U_g = sum_{r<4} T_{4g+r} * 2^{8r}, lifted to a
+    # nonnegative residue with a STATIC worst-case offset: each (i, j)
+    # plane pair contributes |T_i@S_j| + the three bias terms
+    # <= 4 * 128^2 * K, so |sums[s]| <= min(D, Dx) * 2^16 * K and
+    # |U_g| <= that * (2^24 + 2^16 + 2^8 + 1).
+    max_sum = min(D, Dx) * 4 * 128 * 128 * K
+    max_acc = max_sum * ((1 << 24) + (1 << 16) + (1 << 8) + 1)
+    m_off = (max_acc // q + 1) * q
+    assert m_off + max_acc < (1 << 63), "group accumulator exceeds int64"
     out = None
-    m_off = None
     groups = (n_sums + 3) // 4
     for g in range(groups):
         acc = jnp.zeros(lead2 + (rows, cols), dtype=jnp.int64)
@@ -285,9 +365,6 @@ def _mod_matmul(w_digits: jnp.ndarray, x: jnp.ndarray, q: int,
             s = 4 * g + r
             if s < n_sums:
                 acc = acc + sums[s].astype(jnp.int64) * (1 << (8 * r))
-        # lift signed -> u64 residue: add a multiple of q >= 2^53
-        if m_off is None:
-            m_off = ((1 << 53) // q + 1) * q
         av = (acc + jnp.int64(m_off)).astype(U64)
         scale = pow(2, 32 * g, q)
         term = u.mul_mod_shoup(av, u.u64(scale), u.u64((scale << 64) // q), q)
@@ -303,21 +380,22 @@ def ntt_forward_mxu(x: jnp.ndarray, t: MxuNttTables,
     reduced to [0, q). Accepts lazy inputs (any u64 residues).
 
     x_planes (static, 0 = modulus-sized): when the CALLER knows a tighter
-    input magnitude bound (values < the x_planes digit envelope), the
-    entry Barrett normalization is skipped — any representative of the
-    residue class feeds the matmul directly (the fold happens mod q
-    anyway) — and stage 1 runs Dw*x_planes plane pairs instead of Dw^2.
-    The key-switch decomposition uses this for narrow data primes lifted
-    into wide key primes (evaluator._switch_key_decompose)."""
+    input magnitude bound (values < 2^{8*x_planes}), the entry Barrett
+    normalization is skipped — any representative of the residue class
+    feeds the matmul directly (the fold happens mod q anyway) — and
+    stage 1 runs Dw*x_planes plane pairs instead of Dw^2. The key-switch
+    decomposition uses this for narrow data primes lifted into wide key
+    primes (evaluator._switch_key_decompose)."""
     q = t.modulus
     lead = x.shape[:-1]
     if not x_planes:
         x = u.barrett_reduce_64(x, q, ((1 << 128) // q) >> 64)
     c = x.reshape(lead + (t.a, t.b))
-    y = _mod_matmul(t.w1_digits, c, q, contract_left=True,
+    y = _mod_matmul(t.w1_digits, t.w1_sums, c, q, contract_left=True,
                     x_planes=x_planes)                          # (.., A, B)
     y = u.mul_mod_shoup(y, t.tw, t.tw_shoup, q)
-    z = _mod_matmul(t.w2_digits, y, q, contract_left=False)     # (.., A, B)
+    z = _mod_matmul(t.w2_digits, t.w2_sums, y, q,
+                    contract_left=False)                        # (.., A, B)
     return z.reshape(lead + (t.n,))
 
 
@@ -328,7 +406,7 @@ def ntt_inverse_mxu(x: jnp.ndarray, t: MxuNttTables) -> jnp.ndarray:
     lead = x.shape[:-1]
     x = u.barrett_reduce_64(x, q, ((1 << 128) // q) >> 64)
     z = x.reshape(lead + (t.a, t.b))
-    y = _mod_matmul(t.iw2_digits, z, q, contract_left=False)
+    y = _mod_matmul(t.iw2_digits, t.iw2_sums, z, q, contract_left=False)
     y = u.mul_mod_shoup(y, t.itw, t.itw_shoup, q)
-    c = _mod_matmul(t.iw1_digits, y, q, contract_left=True)
+    c = _mod_matmul(t.iw1_digits, t.iw1_sums, y, q, contract_left=True)
     return c.reshape(lead + (t.n,))

@@ -36,14 +36,14 @@ valid lower bound on time for ANY schedule). The hand-derived MXU count
 is kept and printed for reconciliation: 119 limb-NTTs (BEHZ lift 44 fwd
 + 33 inv, key-switch 30 fwd + 12 inv at k=5 data limbs, kf=6) x two int8
 digit-plane matmuls of (8*128,128)@(128,8*128) = 2 x 134 M MACs each
-~= 31.9 G MACs = 63.9 G mul+add ops on the MXU alone. Measured on the
-v5e: XLA counts 71.0 Gflops for this program (63.9 G dots + 7 G
-elementwise — the two derivations AGREE; round 1's "64 G MACs" figure
-was this same 63.9 G flops mislabeled as MACs, which made its 0.162 ms
-floor 2x too low in MAC terms yet coincidentally right in flop terms).
-The published floor is the compiler-derived one (the hand count is
-printed as an upper reference — per-modulus digit planes make the real
-program smaller than the uniform-8-plane hand model).
+~= 31.9 G MACs = 63.9 G mul+add ops on the MXU alone (the uniform
+8-plane upper model). Count history on the v5e: 71.0 G (round 1,
+uniform 8 planes) -> 57.0 G (round 2, planes sized per modulus) ->
+56.4 G (round 3a, X operand sized to the caller's bound) -> 51.1 G
+(round 3b, biased byte planes: a full 8 bits per int8 plane, so 40-bit
+limbs run 5x5 plane pairs — ops/ntt_mxu.py). At 51.1 G the floor is
+0.129 ms and the measured chained-loop window lands AT it, so the
+published figure is the measurement itself, unclamped.
 
 Attempted countermeasure, for the record: folding the whole loop into
 ONE lax.scan executable (so the tunnel cannot acknowledge per-op

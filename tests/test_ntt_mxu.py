@@ -46,6 +46,21 @@ def test_roundtrip_large():
     np.testing.assert_array_equal(back, np.asarray(x))
 
 
+def test_roundtrip_wide_factor():
+    """A = B = 256 (n = 65536): exercises the statically-derived signed
+    group-accumulator offset in _mod_matmul at a larger contraction
+    length than the headline's 128 (the N-ceiling regime runs 512)."""
+    n, bits = 65536, 60
+    q = numth.get_prime(2 * n, bits)
+    mxu = ntt_mxu.make_mxu_tables(n, q)
+    assert mxu.a == mxu.b == 256
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.integers(0, q, (n,), dtype=np.uint64))
+    y = ntt_mxu.ntt_forward_mxu(x, mxu)
+    back = np.asarray(ntt_mxu.ntt_inverse_mxu(y, mxu))
+    np.testing.assert_array_equal(back, np.asarray(x))
+
+
 def test_ndigits_bound_tight():
     """The per-modulus byte-plane count must hold for the WORST residue
     (q-1) at every standard prime width — the biased decomposition asserts

@@ -194,6 +194,34 @@ def _switch_key_decompose(target: jnp.ndarray, cd: ContextData,
     used_tables = key_cd.ntt.select(used)
 
     # ---- decompose: t_hat[j, i] = NTT_{p_i}(target_j mod p_i) ----
+    diag_ok = all(key_values[j] == cd.coeff_values[j] for j in range(k))
+    if target_ntt_form and diag_ok:
+        # Diagonal shortcut (NTT-form targets — CKKS/BGV relin, rotation):
+        # for i = j < k the entry NTT_{q_j}(INTT(target)_j mod q_j) is
+        # identically the ORIGINAL NTT-form limb (both transforms are
+        # exact bijections on Z_q^n), so it is reused verbatim and only
+        # the off-diagonal lifts run NTTs — k x k instead of k x (k+1),
+        # bit-exact by construction.
+        target_coeff = dntt.rns_ntt_inverse(target, cd.ntt)
+        out_rows: List[Optional[jnp.ndarray]] = [None] * k
+        for j in range(k):
+            qj = cd.coeff_values[j]
+            bits = int(qj).bit_length()
+            others = [i for i in used if i != j]
+            row = []
+            for i in others:
+                p = key_values[i]
+                tj = target_coeff[j]
+                if qj > p:
+                    tj = u.barrett_reduce_64(tj, p, ((1 << 128) // p) >> 64)
+                row.append(tj)
+            res = dntt.rns_ntt_forward(
+                jnp.stack(row)[None], key_cd.ntt.select(others),
+                x_bound_bits=bits)[0]
+            pos = used.index(j)
+            out_rows[j] = jnp.concatenate(
+                [res[:pos], target[j][None], res[pos:]])
+        return jnp.stack(out_rows)             # fully reduced
     if target_ntt_form:
         target_coeff = dntt.rns_ntt_inverse(target, cd.ntt)
     else:
@@ -221,7 +249,7 @@ def _switch_key_decompose(target: jnp.ndarray, cd: ContextData,
     for j in range(k):
         bits = int(cd.coeff_values[j]).bit_length()
         by_bits.setdefault(bits, []).append(j)
-    out_rows: List[Optional[jnp.ndarray]] = [None] * k
+    out_rows = [None] * k
     for bits, js in sorted(by_bits.items()):
         sub = t_mat[js[0]][None] if len(js) == 1 else \
             jnp.stack([t_mat[j] for j in js])

@@ -54,8 +54,8 @@ post-readback the poisoned process runs even a single big dispatch
 that the real per-op cost sits near the floor comes from batched
 WORKLOAD timings instead: the app matmul runs 128 BEHZ mult(+relin)
 tile products in 15 ms (~0.12 ms each) and the full conv2d 3328
-dyadic tile products in 350 ms — both consistent with the
-0.12-0.15 ms/op class, and neither shape is speculable (their outputs
+dyadic tile products in 287 ms — both consistent with the
+0.12-0.13 ms/op class, and neither shape is speculable (their outputs
 are serialized and decrypted bit-exactly).
 """
 

@@ -216,6 +216,41 @@ def test_conv2d_cipher_weights(bfv):
     np.testing.assert_array_equal(y.astype(object) % t, expect)
 
 
+def test_conv2d_reverse_encrypted_weights(bfv):
+    """Encrypted weights x plain inputs (the conv analogue of
+    matmul_reverse; reference: app/LinearHelper.cuh:1020-1043
+    conv2dReverse, bound as a conv2d overload at binder.cu:830-831).
+    objective=1 biases the tiling toward few weight ciphertexts."""
+    ctx, enc, dec, ev, be, auto_keys = bfv
+    t = int(ctx.first_context_data.plain_modulus)
+    B, H, W, KH, KW, CI, CO = 2, 4, 4, 2, 2, 2, 3
+    rng = np.random.default_rng(17)
+    x = rng.integers(0, t, size=(B, CI, H, W), dtype=np.uint64)
+    w = rng.integers(0, t, size=(CO, CI, KH, KW), dtype=np.uint64)
+    helper = Conv2dHelper(B, H, W, KH, KW, CI, CO, N, objective=1)
+    w_ct = helper.encode_weights(be.encode_polynomial, w) \
+        .encrypt_symmetric(enc)
+    x_pt = helper.encode_inputs(be.encode_polynomial, x)
+    y_ct = helper.conv2d_reverse(ev, x_pt, w_ct)
+    # through the wire with partial-term serialization, like the
+    # reference's reverse protocols
+    blob = helper.serialize_outputs(ev, ctx, y_ct)
+    y_ct2 = helper.deserialize_outputs(ev, ctx, blob)
+    y = helper.decrypt_outputs(be.decode_polynomial, dec, y_ct2)
+    oh, ow = H - KH + 1, W - KW + 1
+    expect = np.zeros((B, CO, oh, ow), dtype=object)
+    for b in range(B):
+        for co in range(CO):
+            for i in range(oh):
+                for j in range(ow):
+                    acc = 0
+                    for ci in range(CI):
+                        acc += int((x[b, ci, i:i + KH, j:j + KW].astype(object)
+                                    * w[co, ci].astype(object)).sum())
+                    expect[b, co, i, j] = acc % t
+    np.testing.assert_array_equal(y.astype(object) % t, expect)
+
+
 def test_matmul_block_search_matches_reference():
     """Tiling choices pinned against a verbatim transcription of the
     reference's determineBlock (app/LinearHelper.cuh:242-307), including

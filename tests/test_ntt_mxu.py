@@ -79,7 +79,7 @@ def test_ndigits_bound_tight():
                       for p in range(nd))
             assert rec == v
         # the count is minimal (one fewer plane must fail for max values)
-        if nd > 1 and 8 * (nd - 1) < 64:
+        if nd > 1:
             import pytest
             with pytest.raises(AssertionError):
                 _biased_digits_host(np.array([[q - 1]], dtype=np.uint64),

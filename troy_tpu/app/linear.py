@@ -872,6 +872,18 @@ class Conv2dHelper:
         one fused contraction (w transposed to the (i, oc) layout)."""
         return _run_cipher_contraction(ev, a, w, transpose_w=True)
 
+    def conv2d_reverse(self, ev: Evaluator, a: Plain2d,
+                       w: Cipher2d) -> Cipher2d:
+        """Encrypted weights, plain inputs: out[b, oc] = sum_i w[oc, i] (*)
+        a[b, i] — the conv analogue of matmul_reverse, used for
+        weight-private protocols (reference:
+        app/LinearHelper.cuh:1020-1043 conv2dReverse; bound as a conv2d
+        overload at binder/binder.cu:830-831). The ciphertext grid is the
+        weight grid (oc, i) and the plain input grid (b, i) is transposed
+        to (i, b); the (oc, b) result transposes back to (b, oc)."""
+        return _run_tile_contraction(ev, w, a, transpose_ct=False,
+                                     transpose_pt=True, transpose_out=True)
+
     def _mask_index(self, b, c, i, j, yh, yw):
         bci, bco = self.block_in_channels, self.block_out_channels
         interval = self.block_height * self.block_width

@@ -1048,7 +1048,9 @@ class Conv2dHelper:
             kernel_width, input_channels, output_channels, slot_count,
             objective=objective)
 
-    _poly_codec = MatmulHelper._poly_codec
+    # re-wrap as staticmethod: the bare function would otherwise rebind as
+    # an instance method and swallow `encoder` into `self`
+    _poly_codec = staticmethod(MatmulHelper._poly_codec)
 
     def encode_weights(self, encoder, weights) -> Plain2d:
         ep, _ = self._poly_codec(encoder)
@@ -1066,15 +1068,30 @@ class Conv2dHelper:
         return Cipher2d(self._inner.encrypt_inputs(
             encryptor._inner, ep, np.asarray(inputs, dtype=np.uint64)))
 
-    def conv2d(self, evaluator: Evaluator, a: Cipher2d,
-               w: Plain2d) -> Cipher2d:
-        return Cipher2d(self._inner.conv2d(evaluator._inner, a._inner,
-                                           w._inner))
+    def conv2d(self, evaluator: Evaluator, a, w) -> Cipher2d:
+        """Dispatches on operand types like the binder's overload set
+        (binder.cu:824-832): (Cipher2d, Plain2d) -> conv2d,
+        (Cipher2d, Cipher2d) -> conv2dCipher,
+        (Plain2d, Cipher2d) -> conv2dReverse."""
+        if isinstance(a, Cipher2d) and isinstance(w, Plain2d):
+            return Cipher2d(self._inner.conv2d(evaluator._inner, a._inner,
+                                               w._inner))
+        if isinstance(a, Cipher2d) and isinstance(w, Cipher2d):
+            return self.conv2d_cipher(evaluator, a, w)
+        if isinstance(a, Plain2d) and isinstance(w, Cipher2d):
+            return self.conv2d_reverse(evaluator, a, w)
+        raise TypeError("conv2d expects (Cipher2d, Plain2d), "
+                        "(Cipher2d, Cipher2d) or (Plain2d, Cipher2d)")
 
     def conv2d_cipher(self, evaluator: Evaluator, a: Cipher2d,
                       w: Cipher2d) -> Cipher2d:
         return Cipher2d(self._inner.conv2d_cipher(evaluator._inner,
                                                   a._inner, w._inner))
+
+    def conv2d_reverse(self, evaluator: Evaluator, a: Plain2d,
+                       w: Cipher2d) -> Cipher2d:
+        return Cipher2d(self._inner.conv2d_reverse(evaluator._inner,
+                                                   a._inner, w._inner))
 
     def serialize_outputs(self, evaluator: Evaluator,
                           x: Cipher2d) -> bytes:

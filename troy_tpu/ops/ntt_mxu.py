@@ -354,6 +354,7 @@ def _mod_matmul(w_digits: jnp.ndarray, w_sums: jnp.ndarray, x: jnp.ndarray,
     # <= 4 * 128^2 * K, so |sums[s]| <= min(D, Dx) * 2^16 * K and
     # |U_g| <= that * (2^24 + 2^16 + 2^8 + 1).
     max_sum = min(D, Dx) * 4 * 128 * 128 * K
+    assert max_sum < (1 << 31), "per-digit-sum accumulator exceeds int32"
     max_acc = max_sum * ((1 << 24) + (1 << 16) + (1 << 8) + 1)
     m_off = (max_acc // q + 1) * q
     assert m_off + max_acc < (1 << 63), "group accumulator exceeds int64"

@@ -48,6 +48,32 @@ def _limb_root_tables_dev(n: int, q: int):
             jnp.asarray(h.inv_root_powers_shoup))
 
 
+@lru_cache(maxsize=None)
+def _stacked_tables_dev(n: int, moduli: Tuple[int, ...]):
+    """Device copies of a whole RNS base's stacked tables, cached per
+    (n, base). Stacking happens on the HOST (numpy) and each stacked array
+    uploads as ONE transfer: a device-side jnp.stack would compile a tiny
+    XLA executable per distinct (k, n) shape — measured 5+ s of context
+    build on a cold compile cache, all remote-helper compile latency —
+    whereas pure transfers need no compile at all. A rebuilt context (same
+    params) is then a pure cache hit."""
+    hosts = [make_ntt_tables(n, int(q)) for q in moduli]
+    stack = lambda get: jnp.asarray(np.stack([get(h) for h in hosts]))
+    vec = lambda get: jnp.asarray(np.array(
+        [get(h) & 0xFFFFFFFFFFFFFFFF for h in hosts], dtype=np.uint64))
+    return (
+        stack(lambda h: h.root_powers),
+        stack(lambda h: h.root_powers_shoup),
+        stack(lambda h: h.inv_root_powers),
+        stack(lambda h: h.inv_root_powers_shoup),
+        vec(lambda h: h.modulus),
+        vec(lambda h: h.const_ratio[1]),
+        vec(lambda h: h.const_ratio[0]),
+        vec(lambda h: h.inv_degree),
+        vec(lambda h: h.inv_degree_shoup),
+    )
+
+
 class NttTables(struct.PyTreeNode):
     """Device twin of NttTablesHost. Arrays are leaves; scalars are static."""
 
@@ -108,28 +134,27 @@ class RnsNttTables(struct.PyTreeNode):
     @classmethod
     def from_moduli(cls, n: int, moduli: Sequence[int],
                     use_mxu: Optional[bool] = None) -> "RnsNttTables":
-        hosts = [make_ntt_tables(n, int(q)) for q in moduli]
+        values = tuple(int(q) for q in moduli)
         if use_mxu is None:
             use_mxu = n >= MXU_MIN_N
-        mxu = tuple(ntt_mxu.make_mxu_tables(n, int(q)) for q in moduli) \
+        mxu = tuple(ntt_mxu.make_mxu_tables(n, q) for q in values) \
             if use_mxu else None
-        as_u64 = lambda vals: jnp.asarray(
-            np.array([v & 0xFFFFFFFFFFFFFFFF for v in vals], dtype=np.uint64))
-        devs = [_limb_root_tables_dev(n, int(q)) for q in moduli]
+        (rp, rps, irp, irps, qv, cr_hi, cr_lo,
+         inv_deg, inv_deg_s) = _stacked_tables_dev(n, values)
         return cls(
             mxu=mxu,
-            root_powers=jnp.stack([d[0] for d in devs]),
-            root_powers_shoup=jnp.stack([d[1] for d in devs]),
-            inv_root_powers=jnp.stack([d[2] for d in devs]),
-            inv_root_powers_shoup=jnp.stack([d[3] for d in devs]),
-            q=as_u64([h.modulus for h in hosts]),
-            cr_hi=as_u64([h.const_ratio[1] for h in hosts]),
-            cr_lo=as_u64([h.const_ratio[0] for h in hosts]),
-            inv_degree=as_u64([h.inv_degree for h in hosts]),
-            inv_degree_shoup=as_u64([h.inv_degree_shoup for h in hosts]),
+            root_powers=rp,
+            root_powers_shoup=rps,
+            inv_root_powers=irp,
+            inv_root_powers_shoup=irps,
+            q=qv,
+            cr_hi=cr_hi,
+            cr_lo=cr_lo,
+            inv_degree=inv_deg,
+            inv_degree_shoup=inv_deg_s,
             n=n,
-            log_n=hosts[0].log_n,
-            values=tuple(h.modulus for h in hosts),
+            log_n=n.bit_length() - 1,
+            values=values,
         )
 
     @property

@@ -17,12 +17,19 @@ Regimes (all decrypt bit-exactly against a single-device replay):
           boundary (the DCN analogue of a cross-host psum).
   dp4tp2x: 2-D (4, 2) mesh whose tp PAIRS each span both processes —
           every limb collective crosses the boundary, batches stay local.
+  app2x : the APP-LAYER MatmulHelper tile contraction (BASELINE config 5,
+          "app pipeline sharded across multi-host pod"): the output-tile
+          axis of the coefficient-packed matmul is split across a
+          2-device mesh with one device FROM EACH PROCESS — each process
+          computes its slice of the server-side multiplyPlain+add fan-out
+          (LinearHelper.cuh:403-427), results gathered over the process
+          boundary and decrypted through the helper's own output path.
 
 Usage:
   python benchmarks/dcn_multiprocess.py            # launcher: spawns both
   python benchmarks/dcn_multiprocess.py --proc N   # worker (internal)
 
-The launcher writes MULTIPROC_r03.json at the repo root.
+The launcher writes MULTIPROC_r04.json at the repo root.
 """
 
 import json
@@ -39,7 +46,11 @@ Q_BITS = [int(b) for b in os.environ.get(
     "TROY_DCN_QBITS", "60,40,40,40,40,40,60").split(",")]
 T_BITS = int(os.environ.get("TROY_DCN_TBITS", "20"))
 PORT = int(os.environ.get("TROY_DCN_PORT", "12923"))
-OUT_JSON = os.environ.get("TROY_DCN_OUT", "MULTIPROC_r03.json")
+OUT_JSON = os.environ.get("TROY_DCN_OUT", "MULTIPROC_r04.json")
+# app-layer matmul dims (batch, input_dims, output_dims); defaults sized
+# so the output-tile axis splits evenly over the 2-device cross mesh
+MM_DIMS = tuple(int(x) for x in os.environ.get(
+    "TROY_DCN_MM", "8,1024,64").split(","))
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 NPROC = 2
 LOCAL_DEVICES = 4
@@ -215,6 +226,56 @@ def worker(pid: int) -> None:
     log("dp4tp2x: 2-D regime bit-exact with every tp pair spanning "
         "both processes")
     results["dp4tp2x"] = True
+
+    # ---- regime 4: app-layer matmul, output tiles across processes ----
+    from troy_tpu.app import linear as lin
+    Bm, Im, Om = MM_DIMS
+    helper = lin.MatmulHelper(Bm, Im, Om, N, objective=0, pack_lwe=False)
+    rng_mm = np.random.default_rng(11)
+    x_mm = rng_mm.integers(0, t_plain, size=(Bm, Im), dtype=np.uint64)
+    w_mm = rng_mm.integers(0, t_plain, size=(Im, Om), dtype=np.uint64)
+    x_ct2d = helper.encode_inputs(be.encode_polynomial, x_mm) \
+        .encrypt_symmetric(enc)           # identical on both procs (seeded)
+    w_pt2d = helper.encode_weights(be.encode_polynomial, w_mm)
+    ct_tiles = np.stack([np.stack([np.asarray(c.data) for c in row])
+                         for row in x_ct2d.data])       # (X, I, 2, k, n)
+    pt_tiles = np.stack([np.stack([np.asarray(p.data) for p in row])
+                         for row in w_pt2d.data])       # (I, Y, n)
+    Y = pt_tiles.shape[1]
+    assert Y % 2 == 0, f"output-tile axis {Y} must split over the 2 procs"
+
+    def app_step(ct_t, pt_t, cdl):
+        return lin._matmul_tiles_core.__wrapped__(ct_t, pt_t, cdl,
+                                                  True, True)
+
+    ct_spec = NamedSharding(mesh_x, P(None, None, None, None, None))
+    pt_spec = NamedSharding(mesh_x, P(None, "tp", None))
+    out_spec = NamedSharding(mesh_x, P(None, "tp", None, None, None))
+    app_jit = jax.jit(app_step,
+                      in_shardings=(ct_spec, pt_spec, None),
+                      out_shardings=out_spec)
+    g_ct = make_global(ct_tiles, ct_spec)
+    g_pt = make_global(pt_tiles, pt_spec)
+    app_c = app_jit.lower(g_ct, g_pt, cd_np).compile()
+    log("app2x compiled")
+    barrier("app2x-compiled")
+    out = app_c(g_ct, g_pt, cd_np)
+    out_np = multihost_utils.process_allgather(out, tiled=True)
+    # single-device replay
+    expect_tiles = np.asarray(jax.jit(app_step)(ct_tiles, pt_tiles, cd_np))
+    assert np.array_equal(out_np, expect_tiles), "app2x not bit-exact"
+    template = x_ct2d.data[0][0]
+    y2d = lin.Cipher2d([[template.replace(data=jnp.asarray(out_np[xi, yi]),
+                                          seed=0)
+                         for yi in range(out_np.shape[1])]
+                        for xi in range(out_np.shape[0])])
+    y_dec = helper.decrypt_outputs(be.decode_polynomial, dec, y2d)
+    want_mm = (x_mm.astype(object) @ w_mm.astype(object)) % t_plain
+    assert np.array_equal(y_dec.astype(object) % t_plain, want_mm), \
+        "app2x decrypt mismatch"
+    log(f"app2x: MatmulHelper {Bm}x{Im}x{Om} tile contraction bit-exact "
+        "with the output-tile axis split ACROSS the process boundary")
+    results["app2x"] = True
 
     multihost_utils.sync_global_devices("done")
     if pid == 0:

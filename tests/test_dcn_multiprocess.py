@@ -5,11 +5,13 @@ traffic between TPU hosts; the reference has no analogue at all
 (single GPU, src/kernelprovider.cuh:30).
 
 Runs benchmarks/dcn_multiprocess.py at a small config (n=256, 2 data
-limbs) covering all three regimes: cross-process DP placement,
-limb-sharding whose key-switch psum crosses the boundary, and the 2-D
-mesh with tp pairs spanning both processes. Every regime must match a
-single-device replay word-for-word and decrypt exactly. The full-size
-run (n=8192, 6 limbs) is recorded in MULTIPROC_r03.json.
+limbs) covering all four regimes: cross-process DP placement,
+limb-sharding whose key-switch psum crosses the boundary, the 2-D
+mesh with tp pairs spanning both processes, and the app-layer
+MatmulHelper tile contraction with its output-tile axis split across
+the boundary. Every regime must match a single-device replay
+word-for-word and decrypt exactly. The full-size run (n=8192, 6
+limbs) is recorded in MULTIPROC_r04.json.
 """
 
 import json
@@ -30,6 +32,7 @@ def test_dcn_multiprocess_small():
     env["TROY_DCN_N"] = "256"
     env["TROY_DCN_QBITS"] = "40,40,40"     # 2 data limbs + special
     env["TROY_DCN_TBITS"] = "17"
+    env["TROY_DCN_MM"] = "8,32,32"         # app tiles: Y=4, splits over 2
     env["TROY_DCN_PORT"] = "12961"
     env["TROY_DCN_OUT"] = "/tmp/troy_dcn_test.json"
     # do not inherit the suite's 8-device XLA flag: workers set their own
@@ -40,4 +43,5 @@ def test_dcn_multiprocess_small():
     rec = json.load(open("/tmp/troy_dcn_test.json"))
     assert rec["ok"] is True
     assert rec["processes"] == 2
-    assert rec["regimes"] == {"dp8": True, "tp2x": True, "dp4tp2x": True}
+    assert rec["regimes"] == {"dp8": True, "tp2x": True, "dp4tp2x": True,
+                              "app2x": True}

@@ -42,8 +42,15 @@ uniform 8 planes) -> 57.0 G (round 2, planes sized per modulus) ->
 56.4 G (round 3a, X operand sized to the caller's bound) -> 51.1 G
 (round 3b, biased byte planes: a full 8 bits per int8 plane, so 40-bit
 limbs run 5x5 plane pairs — ops/ntt_mxu.py). At 51.1 G the floor is
-0.129 ms and the measured chained-loop window lands AT it, so the
-published figure is the measurement itself, unclamped.
+0.129 ms; measured raw windows land AT OR SLIGHTLY BELOW it
+(0.105-0.129 ms between sessions — harness speculation can shave a
+window under physics), so the clamp typically FIRES and the published
+figure is the floor itself. Read the floor as an OPTIMISTIC bound, not
+physics: it divides ALL counted ops — including the VPU u64-emulation
+elementwise work — by the 394.7 TOPS int8 MXU peak, so the truly
+attainable time is somewhat higher; publishing the clamped floor is
+conservative on the fast side and honest on the slow side (raw windows
+above it are reported as measured).
 
 Attempted countermeasure, for the record: folding the whole loop into
 ONE lax.scan executable (so the tunnel cannot acknowledge per-op

@@ -173,3 +173,19 @@ def test_parms_id_sensitivity():
         scheme=T.SchemeType.bgv, poly_modulus_degree=N,
         coeff_modulus=base.coeff_modulus, plain_modulus=base.plain_modulus)
     assert base.parms_id != bgv.parms_id
+
+
+def test_rebuild_reuses_device_tables():
+    """A context rebuilt with the same params must be a pure cache hit:
+    the stacked NTT tables are uploaded once per (n, base) and shared by
+    identical rebuilds (round-4 fix — per-level device-side jnp.stack
+    used to cost one XLA mini-compile per (limbs, n) shape;
+    ops/ntt.py _stacked_tables_dev)."""
+    parms = make_parms()
+    ctx1 = T.HeContext(parms, sec_level=T.SecurityLevel.none)
+    ctx2 = T.HeContext(parms, sec_level=T.SecurityLevel.none)
+    for cd1, cd2 in zip(ctx1.chain, ctx2.chain):
+        assert cd1.ntt.root_powers is cd2.ntt.root_powers
+        assert cd1.ntt.inv_root_powers_shoup is cd2.ntt.inv_root_powers_shoup
+        if cd1.bsk_ntt is not None:
+            assert cd1.bsk_ntt.root_powers is cd2.bsk_ntt.root_powers

@@ -37,7 +37,11 @@ N = int(os.environ.get("TROY_HOIST_N", "16384"))
 Q_BITS = [60, 40, 40, 40, 40, 60] if N >= 8192 else [40, 40, 40]
 V5E_PEAK_OPS = 394.7e12
 ROT_COUNTS = (1, 2, 4, 8, 16)
-PACK_COUNTS = (16, 64)
+# m=64's first tree layer is a 32-way vmapped key-switch — beyond the
+# axon remote compiler's program-size budget at n=16384; override with
+# TROY_HOIST_PACK (comma list) to size to the environment
+PACK_COUNTS = tuple(int(x) for x in os.environ.get(
+    "TROY_HOIST_PACK", "16,64").split(","))
 
 
 def main():
@@ -175,11 +179,14 @@ def main():
         return ev.field_trace(cts[0], auto_keys, l)
 
     # coefficient-encoded source: extract_lwe reads polynomial
-    # coefficients, so the expectation below is directly a[i]
+    # coefficients, so the expectation below is directly a[i].
+    # extract_lwe_many: one dynamic-shift executable for all terms (the
+    # per-term static path would compile one program per shift value —
+    # a 64-program compile storm through the remote helper).
     ct_poly = enc.encrypt_symmetric(be.encode_polynomial(a))
     pcases = {}
     for m in PACK_COUNTS:
-        lwes = [ev.extract_lwe(ct_poly, i) for i in range(m)]
+        lwes = ev.extract_lwe_many(ct_poly, list(range(m)))
         batched = ev.pack_lwe_ciphertexts(lwes, auto_keys)
         naive = naive_pack(lwes)
         jax.block_until_ready((batched.data, naive.data))

@@ -209,3 +209,21 @@ def test_exponentiate_matches_repeated_multiply(bfv):
     got = roundtrip(s, s["ev"].exponentiate(ct, 4, s["rlk"]))
     np.testing.assert_array_equal(
         got, (vals.astype(object) ** 4 % t).astype(np.uint64))
+
+
+def test_extract_lwe_many_matches_single(bfv):
+    """Batched extractLWE (one dynamic-shift executable) must agree
+    word-for-word with the per-term static path for every term."""
+    s = bfv
+    t = s["t"]
+    coeffs = (np.arange(N, dtype=np.uint64) * 13 + 5) % t
+    ct = s["enc"].encrypt_symmetric(s["be"].encode_polynomial(coeffs))
+    terms = [0, 1, 7, N // 2, N - 1]
+    many = s["ev"].extract_lwe_many(ct, terms)
+    for term, lwe in zip(terms, many):
+        ref = s["ev"].extract_lwe(ct, term)
+        np.testing.assert_array_equal(np.asarray(lwe.c1), np.asarray(ref.c1))
+        np.testing.assert_array_equal(np.asarray(lwe.c0), np.asarray(ref.c0))
+        back = s["ev"].assemble_lwe(lwe, 0)
+        out = s["be"].decode_polynomial(s["dec"].decrypt(back))
+        assert int(out[0]) == int(coeffs[term])

@@ -537,6 +537,33 @@ def _field_trace_batch_core(data: jnp.ndarray,
 
 
 @jax.jit
+def _extract_lwe_many_core(data: jnp.ndarray, terms: jnp.ndarray,
+                           cd: ContextData):
+    """Batched extractLWE with TRACED shift amounts: data (2, k, n),
+    terms (m,) int32 -> (c1s (m, k, n), c0s (m, k)). Mirrors
+    ops/poly.negacyclic_shift's semantics (shift = 2n - term) with the
+    shift as a dynamic value so one executable serves every term."""
+    n = cd.n
+    q = cd.ntt.q.reshape(-1, 1)
+    x = data[1]
+    neg = jnp.where(x == jnp.uint64(0), x, q - x)
+    idx = jax.lax.broadcasted_iota(jnp.int32, (n,), 0)
+
+    def one(term):
+        shift = jnp.where(term == 0, 0, 2 * n - term)
+        s = shift % n
+        rolled = jnp.roll(x, s, axis=-1)
+        rolled_neg = jnp.roll(neg, s, axis=-1)
+        wrapped = idx < s
+        flip = jnp.where(shift < n, wrapped, ~wrapped)
+        c1 = jnp.where(flip, rolled_neg, rolled)
+        c0 = jax.lax.dynamic_slice_in_dim(data[0], term, 1, axis=1)[:, 0]
+        return c1, c0
+
+    return jax.vmap(one)(terms)
+
+
+@jax.jit
 def _pack_assemble_core(c1s: jnp.ndarray, c0s: jnp.ndarray,
                         cd: ContextData) -> jnp.ndarray:
     """Batched assembleLWE at term 0 + divide by n
@@ -1022,10 +1049,18 @@ class Evaluator:
                           galois_keys: GaloisKeys) -> List[Ciphertext]:
         """Hoisted multi-automorphism: the digit decomposition + NTT of c1
         is computed once and shared by every element's key switch (see
-        _hoisted_galois_core). Drop-in faster replacement for a loop of
-        apply_galois over the SAME ciphertext (baby-step/giant-step linear
-        transforms, multi-rotation inner products). Extension beyond the
-        reference, which re-decomposes per rotation."""
+        _hoisted_galois_core) — an extension beyond the reference, which
+        re-decomposes per rotation (evaluator_cuda.cu:2024).
+
+        Measured status (round 4, benchmarks/hoist_bench.py): the
+        compiler-counted saving is real — 2.8x fewer ops than m
+        sequential rotations at m=16 (82.6 vs 228.7 G) — but the
+        current vmapped schedule does NOT realize it: XLA executes the
+        batched program slower than the sequential loop on both the
+        v5e and the CPU backend (the NTT-domain t_hat gather per
+        automorphism dominates). Use the sequential loop (rotate_rows
+        per step) when wall-clock matters today; this entry point is
+        the semantics + the count headroom, not yet a measured win."""
         if ct.size != 2:
             raise ValueError("apply_galois_many expects size-2 ciphertexts "
                              "(relinearize first)")
@@ -1139,6 +1174,27 @@ class Evaluator:
         c0 = ct.data[0][:, term]
         return LWECiphertext(c1=c1, c0=c0, level=ct.level, scale=ct.scale,
                              correction_factor=ct.correction_factor)
+
+    def extract_lwe_many(self, ct: Ciphertext,
+                         terms: Sequence[int]) -> List[LWECiphertext]:
+        """Batched extractLWE: all terms in ONE executable with the
+        negacyclic shift amount as a traced value, so extracting m
+        coefficients costs one dispatch (and one compile for any m of
+        the same count) instead of m distinct static-shift programs —
+        the shape the app layer's output packing consumes
+        (evaluator_cuda.cu:2216-2249 extractLWE, looped by
+        LinearHelper.cuh packOutputs:592-650)."""
+        if ct.size != 2:
+            raise ValueError("extract_lwe expects size-2 ciphertexts")
+        if ct.is_ntt_form:
+            return self.extract_lwe_many(self.transform_from_ntt(ct), terms)
+        cd = self._cd(ct)
+        t_arr = jnp.asarray(np.array(terms, dtype=np.int32))
+        c1s, c0s = _extract_lwe_many_core(ct.data, t_arr, cd)
+        return [LWECiphertext(c1=c1s[i], c0=c0s[i], level=ct.level,
+                              scale=ct.scale,
+                              correction_factor=ct.correction_factor)
+                for i in range(len(terms))]
 
     def assemble_lwe(self, lwe: LWECiphertext, term: int = 0) -> Ciphertext:
         """Re-embed an LWE sample as an RLWE ciphertext whose coefficient

@@ -259,24 +259,18 @@ def _switch_key_decompose(target: jnp.ndarray, cd: ContextData,
     return jnp.stack(out_rows)                 # fully reduced
 
 
-def _switch_key_contract(t_hat: jnp.ndarray, key: jnp.ndarray,
-                         cd: ContextData,
-                         key_cd: ContextData) -> jnp.ndarray:
-    """Stage 2 of the key switch: the dense 128-bit inner product against
-    the switching key plus the divide-by-special-prime rounding. Takes the
-    decomposed digits t_hat (k, used, n) from _switch_key_decompose."""
+def _switch_key_inner_product(t_hat: jnp.ndarray, key: jnp.ndarray,
+                              cd: ContextData,
+                              key_cd: ContextData) -> List[jnp.ndarray]:
+    """The 128-bit dense inner product over the decomposition axis —
+    ELEMENTWISE in the evaluation index, so a lane permutation commutes
+    with it (the hoisted-rotation pre-permuted-key schedule relies on
+    this). Returns [prods_c0, prods_c1], each (used, n) fully reduced."""
     k = cd.limbs
     n = cd.n
-    key_values = key_cd.coeff_values
-    kf = len(key_values)
-    p_sp = key_values[-1]
+    kf = len(key_cd.coeff_values)
     used = list(range(k)) + [kf - 1]
-    key_tables = key_cd.ntt
-    used_tables = key_tables.select(used)
-    scheme = cd.scheme
-    is_ntt_scheme = scheme in (SchemeType.ckks, SchemeType.bgv)
-
-    # ---- 128-bit dense inner product over the decomposition axis ----
+    used_tables = key_cd.ntt.select(used)
     key_used = key[:k][:, :, jnp.asarray(np.array(used, dtype=np.int32)), :]
     q_used = used_tables.q.reshape(len(used), 1)
     crl = used_tables.cr_lo.reshape(len(used), 1)
@@ -290,6 +284,28 @@ def _switch_key_contract(t_hat: jnp.ndarray, key: jnp.ndarray,
             acc_lo, acc_hi = u.add_u128(acc_lo, acc_hi, lo, hi)
         prods.append(u.barrett_reduce_128_dyn(acc_lo, acc_hi,
                                               q_used, crl, crh))
+    return prods
+
+
+def _switch_key_contract(t_hat: jnp.ndarray, key: jnp.ndarray,
+                         cd: ContextData,
+                         key_cd: ContextData,
+                         prods: Optional[List[jnp.ndarray]] = None
+                         ) -> jnp.ndarray:
+    """Stage 2 of the key switch: the dense 128-bit inner product against
+    the switching key plus the divide-by-special-prime rounding. Takes the
+    decomposed digits t_hat (k, used, n) from _switch_key_decompose (or
+    precomputed inner products via `prods`)."""
+    k = cd.limbs
+    key_values = key_cd.coeff_values
+    kf = len(key_values)
+    p_sp = key_values[-1]
+    key_tables = key_cd.ntt
+    scheme = cd.scheme
+    is_ntt_scheme = scheme in (SchemeType.ckks, SchemeType.bgv)
+
+    if prods is None:
+        prods = _switch_key_inner_product(t_hat, key, cd, key_cd)
 
     # ---- divide by the special prime, per component ----
     # The per-limb corrections run as STACKED (k, n) kernels with the
@@ -450,17 +466,28 @@ def _batched_galois_fold(data: jnp.ndarray, src: jnp.ndarray,
 @partial(jax.jit, static_argnames=("ntt_domain",))
 def _hoisted_galois_core(data: jnp.ndarray, perms: jnp.ndarray,
                          srcs: jnp.ndarray, keeps: jnp.ndarray,
-                         keys: jnp.ndarray, cd: ContextData,
+                         keys_pp: jnp.ndarray, cd: ContextData,
                          key_cd: ContextData,
                          ntt_domain: bool) -> jnp.ndarray:
     """HOISTED multi-automorphism (an extension — the reference key-switches
     each rotation from scratch, evaluator_cuda.cu:2024): decompose+NTT the
-    target digits ONCE, then apply every automorphism as a permutation of
-    t_hat's evaluation axis followed by the key contraction, vmapped into
-    one executable. Valid because digit decomposition commutes with the
+    target digits ONCE, then share them across every automorphism's key
+    switch. Valid because digit decomposition commutes with the
     automorphism and the NTT-domain automorphism is a pure permutation.
     Saves the k x (k+1) decompose NTTs on every rotation after the first
     (the dominant cost at small k).
+
+    Round-4 schedule rework: instead of permuting t_hat's evaluation
+    axis per automorphism — (k+1) x used lane-gather rows per element,
+    which dominated the measured time — the switching keys arrive
+    PRE-PERMUTED by the inverse automorphism (keys_pp; computed once
+    per (key, element) and cached by the Evaluator), the inner product
+    runs on the UN-permuted t_hat, and only its (2, used, n) output is
+    gathered before the divide step. The inner product is elementwise
+    in the evaluation index, so
+        inner(perm(t_hat), key)[i] = inner(t_hat, perm_inv(key))[perm[i]]
+    holds word-for-word. The loop over elements is unrolled (measured
+    faster than vmap for this body on both backends).
 
     NOT bit-identical to the sequential path in coefficient domain: for
     sign-flipped coefficients the sequential path reduces the q_j - v
@@ -470,25 +497,22 @@ def _hoisted_galois_core(data: jnp.ndarray, perms: jnp.ndarray,
 
     data (2, k, n); perms (m, n) NTT-domain tables; srcs/keeps (m, n)
     coefficient-domain tables (used for c0 when not ntt_domain);
-    keys (m, decomp, 2, kf, n). Returns (m, 2, k, n)."""
+    keys_pp (m, decomp, 2, kf, n) pre-permuted. Returns (m, 2, k, n)."""
     t_hat = _switch_key_decompose(data[1], cd, key_cd, ntt_domain)
 
-    if ntt_domain:
-        def one(perm, key):
-            delta = _switch_key_contract(jnp.take(t_hat, perm, axis=-1),
-                                         key, cd, key_cd)
-            c0 = _apply_permutation(data[0], perm)
-            out0 = _add(c0[None], delta[0][None], cd)[0]
-            return jnp.stack([out0, delta[1]])
-        return jax.vmap(one)(perms, keys)
-
-    def one(perm, src, keep, key):
-        delta = _switch_key_contract(jnp.take(t_hat, perm, axis=-1),
-                                     key, cd, key_cd)
-        c0 = _apply_permutation_signed(data[0], src, keep, cd)
+    outs = []
+    for i in range(perms.shape[0]):
+        raw = _switch_key_inner_product(t_hat, keys_pp[i], cd, key_cd)
+        prods = [jnp.take(p, perms[i], axis=-1) for p in raw]
+        delta = _switch_key_contract(t_hat, keys_pp[i], cd, key_cd,
+                                     prods=prods)
+        if ntt_domain:
+            c0 = _apply_permutation(data[0], perms[i])
+        else:
+            c0 = _apply_permutation_signed(data[0], srcs[i], keeps[i], cd)
         out0 = _add(c0[None], delta[0][None], cd)[0]
-        return jnp.stack([out0, delta[1]])
-    return jax.vmap(one)(perms, srcs, keeps, keys)
+        outs.append(jnp.stack([out0, delta[1]]))
+    return jnp.stack(outs)
 
 
 @partial(jax.jit, static_argnames=("shift", "ntt_domain"))
@@ -735,6 +759,10 @@ class Evaluator:
 
     def __init__(self, context: HeContext):
         self.context = context
+        # hoisted-rotation pre-permuted switching keys: elt -> (source
+        # key array, permuted copy); identity-checked on every hit so a
+        # different GaloisKeys object never serves a stale entry
+        self._pp_keys = {}
 
     # ---- helpers ----
     def _cd(self, ct: Ciphertext) -> ContextData:
@@ -1045,6 +1073,23 @@ class Evaluator:
                                             cd, key_cd)
         return ct.replace(data=data, seed=0)
 
+    def _prepermuted_key(self, galois_keys: GaloisKeys, elt: int,
+                         n: int) -> jnp.ndarray:
+        """Switching key for `elt` permuted by the INVERSE automorphism
+        along the evaluation axis, cached per (key object, elt) — the
+        hoisted schedule's per-element setup (one lane gather of the key,
+        done once; a cache entry costs one key's worth of HBM)."""
+        src = galois_keys.keys[elt]
+        hit = self._pp_keys.get(elt)
+        if hit is not None and hit[0] is src:
+            return hit[1]
+        perm = np.asarray(galois_util.ntt_permutation_dev(n, elt))
+        inv = np.empty_like(perm)
+        inv[perm] = np.arange(n, dtype=perm.dtype)
+        pp = jnp.take(src, jnp.asarray(inv), axis=-1)
+        self._pp_keys[elt] = (src, pp)
+        return pp
+
     def apply_galois_many(self, ct: Ciphertext, elts: Sequence[int],
                           galois_keys: GaloisKeys) -> List[Ciphertext]:
         """Hoisted multi-automorphism: the digit decomposition + NTT of c1
@@ -1052,15 +1097,13 @@ class Evaluator:
         _hoisted_galois_core) — an extension beyond the reference, which
         re-decomposes per rotation (evaluator_cuda.cu:2024).
 
-        Measured status (round 4, benchmarks/hoist_bench.py): the
-        compiler-counted saving is real — 2.8x fewer ops than m
-        sequential rotations at m=16 (82.6 vs 228.7 G) — but the
-        current vmapped schedule does NOT realize it: XLA executes the
-        batched program slower than the sequential loop on both the
-        v5e and the CPU backend (the NTT-domain t_hat gather per
-        automorphism dominates). Use the sequential loop (rotate_rows
-        per step) when wall-clock matters today; this entry point is
-        the semantics + the count headroom, not yet a measured win."""
+        Round-4 schedule: the switching keys are pre-permuted by the
+        inverse automorphism (cached on the Evaluator per (key, elt)),
+        so the per-element hot path gathers only the (2, used, n) inner
+        products instead of the whole (k, used, n) digit tensor — the
+        gather volume that made the first vmapped schedule measure
+        slower than a sequential loop despite a 2.8x flop advantage
+        (benchmarks/hoist_bench.py)."""
         if ct.size != 2:
             raise ValueError("apply_galois_many expects size-2 ciphertexts "
                              "(relinearize first)")
@@ -1072,7 +1115,8 @@ class Evaluator:
         cd = self._cd(ct)
         n = cd.n
         key_cd = self.context.key_context_data
-        keys = jnp.stack([galois_keys.keys[elt] for elt in elts])
+        keys_pp = jnp.stack([self._prepermuted_key(galois_keys, elt, n)
+                             for elt in elts])
         perms = jnp.stack([galois_util.ntt_permutation_dev(n, elt)
                            for elt in elts])
         if ct.is_ntt_form:
@@ -1082,7 +1126,7 @@ class Evaluator:
                      for elt in elts]
             srcs = jnp.stack([p[0] for p in pairs])
             keeps = jnp.stack([p[1] for p in pairs])
-        out = _hoisted_galois_core(ct.data, perms, srcs, keeps, keys,
+        out = _hoisted_galois_core(ct.data, perms, srcs, keeps, keys_pp,
                                    cd, key_cd, ct.is_ntt_form)
         return [ct.replace(data=out[i], seed=0) for i in range(len(elts))]
 

@@ -41,7 +41,7 @@ ROT_COUNTS = (1, 2, 4, 8, 16)
 # axon remote compiler's program-size budget at n=16384; override with
 # TROY_HOIST_PACK (comma list) to size to the environment
 PACK_COUNTS = tuple(int(x) for x in os.environ.get(
-    "TROY_HOIST_PACK", "16,64").split(","))
+    "TROY_HOIST_PACK", "16,64").split(",") if x)
 
 
 def main():
@@ -71,76 +71,82 @@ def main():
     ct = enc.encrypt_symmetric(be.encode(a))
 
     # ---------------- 1. hoisted rotation ----------------
+    # TROY_HOIST_SKIP_ROT=1 skips straight to the pack comparison (the
+    # rotation phase warms ~10 executables — through the axon tunnel
+    # each big program's first run costs minutes of load)
+    skip_rot = os.environ.get("TROY_HOIST_SKIP_ROT") == "1"
+    cases = {}
     import troy_tpu.evaluator as ev_mod
     cd = ctx.first_context_data
     key_cd = ctx.key_context_data
 
-    def flops_of(fn, *args, **static):
-        c = fn.lower(*args, **static).compile()
-        ca = c.cost_analysis()
-        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
-        return float(ca.get("flops", 0.0))
+    if not skip_rot:
+        def flops_of(fn, *args, **static):
+            c = fn.lower(*args, **static).compile()
+            ca = c.cost_analysis()
+            ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+            return float(ca.get("flops", 0.0))
 
-    # single rotation program (what the sequential loop dispatches)
-    elt1 = galois_util.get_elt_from_step(N, 1)
-    src1, keep1 = galois_util.coeff_permutation_dev(N, elt1)
-    f_single = flops_of(ev_mod._apply_galois_coeff_core, ct.data, src1,
-                        keep1, gk.keys[elt1], cd, key_cd)
+        # single rotation program (what the sequential loop dispatches)
+        elt1 = galois_util.get_elt_from_step(N, 1)
+        src1, keep1 = galois_util.coeff_permutation_dev(N, elt1)
+        f_single = flops_of(ev_mod._apply_galois_coeff_core, ct.data, src1,
+                            keep1, gk.keys[elt1], cd, key_cd)
 
-    print(f"\n-- hoisted multi-rotation (BFV n={N}, coeff domain) --",
-          flush=True)
-    print(f"single-rotation program: {f_single/1e9:.2f} G "
-          f"(floor {f_single/V5E_PEAK_OPS*1e3:.4f} ms)", flush=True)
+        print(f"\n-- hoisted multi-rotation (BFV n={N}, coeff domain) --",
+              flush=True)
+        print(f"single-rotation program: {f_single/1e9:.2f} G "
+              f"(floor {f_single/V5E_PEAK_OPS*1e3:.4f} ms)", flush=True)
 
-    cases = {}
-    for m in ROT_COUNTS:
-        steps = steps_all[:m]
-        elts = [galois_util.get_elt_from_step(N, s) for s in steps]
-        import jax.numpy as jnp
-        keys = jnp.stack([gk.keys[e] for e in elts])
-        perms = jnp.stack([galois_util.ntt_permutation_dev(N, e)
-                           for e in elts])
-        pairs = [galois_util.coeff_permutation_dev(N, e) for e in elts]
-        srcs = jnp.stack([p[0] for p in pairs])
-        keeps = jnp.stack([p[1] for p in pairs])
-        f_h = flops_of(ev_mod._hoisted_galois_core, ct.data, perms, srcs,
-                       keeps, keys, cd, key_cd, ntt_domain=False)
-        floor_h = f_h / V5E_PEAK_OPS * 1e3
-        floor_s = m * f_single / V5E_PEAK_OPS * 1e3
-        print(f"m={m:3d}: hoisted {f_h/1e9:7.2f} G vs sequential "
-              f"{m*f_single/1e9:7.2f} G -> count ratio "
-              f"{m*f_single/f_h:.2f}x (floors {floor_h:.4f} / "
-              f"{floor_s:.4f} ms)", flush=True)
-        cases[m] = dict(steps=steps, floor_h=floor_h, floor_s=floor_s,
-                        best_h=float("inf"), best_s=float("inf"))
+        for m in ROT_COUNTS:
+            steps = steps_all[:m]
+            elts = [galois_util.get_elt_from_step(N, s) for s in steps]
+            import jax.numpy as jnp
+            keys = jnp.stack([gk.keys[e] for e in elts])
+            perms = jnp.stack([galois_util.ntt_permutation_dev(N, e)
+                               for e in elts])
+            pairs = [galois_util.coeff_permutation_dev(N, e) for e in elts]
+            srcs = jnp.stack([p[0] for p in pairs])
+            keeps = jnp.stack([p[1] for p in pairs])
+            f_h = flops_of(ev_mod._hoisted_galois_core, ct.data, perms, srcs,
+                           keeps, keys, cd, key_cd, ntt_domain=False)
+            floor_h = f_h / V5E_PEAK_OPS * 1e3
+            floor_s = m * f_single / V5E_PEAK_OPS * 1e3
+            print(f"m={m:3d}: hoisted {f_h/1e9:7.2f} G vs sequential "
+                  f"{m*f_single/1e9:7.2f} G -> count ratio "
+                  f"{m*f_single/f_h:.2f}x (floors {floor_h:.4f} / "
+                  f"{floor_s:.4f} ms)", flush=True)
+            cases[m] = dict(steps=steps, floor_h=floor_h, floor_s=floor_s,
+                            best_h=float("inf"), best_s=float("inf"))
 
-    # warm both paths for every m
-    for m, c in cases.items():
-        outs_h = ev.rotate_many(ct, c["steps"], gk)
-        outs_s = [ev.rotate_rows(ct, s, gk) for s in c["steps"]]
-        jax.block_until_ready([o.data for o in outs_h + outs_s])
-        c["out_h"], c["out_s"] = outs_h, outs_s
-
-    for w in range(3):
+        # warm both paths for every m
         for m, c in cases.items():
-            t0 = time.time()
-            for _ in range(reps):
-                outs = ev.rotate_many(ct, c["steps"], gk)
-            jax.block_until_ready(outs[-1].data)
-            c["best_h"] = min(c["best_h"], (time.time() - t0) / reps * 1e3)
-            t0 = time.time()
-            for _ in range(reps):
-                outs = [ev.rotate_rows(ct, s, gk) for s in c["steps"]]
-            jax.block_until_ready(outs[-1].data)
-            c["best_s"] = min(c["best_s"], (time.time() - t0) / reps * 1e3)
+            outs_h = ev.rotate_many(ct, c["steps"], gk)
+            outs_s = [ev.rotate_rows(ct, s, gk) for s in c["steps"]]
+            jax.block_until_ready([o.data for o in outs_h + outs_s])
+            c["out_h"], c["out_s"] = outs_h, outs_s
 
-    print(flush=True)
-    for m, c in cases.items():
-        rep_h = max(c["best_h"], c["floor_h"])
-        rep_s = max(c["best_s"], c["floor_s"])
-        print(f"m={m:3d}: hoisted {rep_h:8.4f} ms vs sequential "
-              f"{rep_s:8.4f} ms -> {rep_s/rep_h:5.2f}x "
-              f"(raw {c['best_h']:.4f} / {c['best_s']:.4f})", flush=True)
+        for w in range(3):
+            for m, c in cases.items():
+                t0 = time.time()
+                for _ in range(reps):
+                    outs = ev.rotate_many(ct, c["steps"], gk)
+                jax.block_until_ready(outs[-1].data)
+                c["best_h"] = min(c["best_h"], (time.time() - t0) / reps * 1e3)
+                t0 = time.time()
+                for _ in range(reps):
+                    outs = [ev.rotate_rows(ct, s, gk) for s in c["steps"]]
+                jax.block_until_ready(outs[-1].data)
+                c["best_s"] = min(c["best_s"], (time.time() - t0) / reps * 1e3)
+
+        print(flush=True)
+        for m, c in cases.items():
+            rep_h = max(c["best_h"], c["floor_h"])
+            rep_s = max(c["best_s"], c["floor_s"])
+            print(f"m={m:3d}: hoisted {rep_h:8.4f} ms vs sequential "
+                  f"{rep_s:8.4f} ms -> {rep_s/rep_h:5.2f}x "
+                  f"(raw {c['best_h']:.4f} / {c['best_s']:.4f})", flush=True)
+
 
     # ---------------- 2. batched LWE pack ----------------
     print(f"\n-- LWE pack tree (BFV n={N}) --", flush=True)
@@ -186,10 +192,20 @@ def main():
     ct_poly = enc.encrypt_symmetric(be.encode_polynomial(a))
     pcases = {}
     for m in PACK_COUNTS:
+        t0 = time.time()
         lwes = ev.extract_lwe_many(ct_poly, list(range(m)))
+        jax.block_until_ready([l.c1 for l in lwes])
+        print(f"m={m}: extracted ({time.time()-t0:.0f}s)", flush=True)
+        t0 = time.time()
         batched = ev.pack_lwe_ciphertexts(lwes, auto_keys)
+        jax.block_until_ready(batched.data)
+        print(f"m={m}: batched pack warm "
+              f"(compile+load {time.time()-t0:.0f}s)", flush=True)
+        t0 = time.time()
         naive = naive_pack(lwes)
-        jax.block_until_ready((batched.data, naive.data))
+        jax.block_until_ready(naive.data)
+        print(f"m={m}: per-pair pack warm "
+              f"(compile+load {time.time()-t0:.0f}s)", flush=True)
         pcases[m] = dict(lwes=lwes, batched=batched, naive=naive,
                          best_b=float("inf"), best_n=float("inf"))
 

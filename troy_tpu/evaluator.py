@@ -486,8 +486,11 @@ def _hoisted_galois_core(data: jnp.ndarray, perms: jnp.ndarray,
     gathered before the divide step. The inner product is elementwise
     in the evaluation index, so
         inner(perm(t_hat), key)[i] = inner(t_hat, perm_inv(key))[perm[i]]
-    holds word-for-word. The loop over elements is unrolled (measured
-    faster than vmap for this body on both backends).
+    holds word-for-word. The element axis is vmapped: an UNROLLED loop
+    measures ~25% faster still on the CPU backend, but multi-key-switch
+    bodies unrolled past ~2 elements exceed the axon remote compiler's
+    program-size budget, while the vmapped form compiles in seconds at
+    m=16 — compile-safety wins.
 
     NOT bit-identical to the sequential path in coefficient domain: for
     sign-flipped coefficients the sequential path reduces the q_j - v
@@ -500,19 +503,19 @@ def _hoisted_galois_core(data: jnp.ndarray, perms: jnp.ndarray,
     keys_pp (m, decomp, 2, kf, n) pre-permuted. Returns (m, 2, k, n)."""
     t_hat = _switch_key_decompose(data[1], cd, key_cd, ntt_domain)
 
-    outs = []
-    for i in range(perms.shape[0]):
-        raw = _switch_key_inner_product(t_hat, keys_pp[i], cd, key_cd)
-        prods = [jnp.take(p, perms[i], axis=-1) for p in raw]
-        delta = _switch_key_contract(t_hat, keys_pp[i], cd, key_cd,
+    def one(perm, src, keep, key_pp):
+        raw = _switch_key_inner_product(t_hat, key_pp, cd, key_cd)
+        prods = [jnp.take(p, perm, axis=-1) for p in raw]
+        delta = _switch_key_contract(t_hat, key_pp, cd, key_cd,
                                      prods=prods)
         if ntt_domain:
-            c0 = _apply_permutation(data[0], perms[i])
+            c0 = _apply_permutation(data[0], perm)
         else:
-            c0 = _apply_permutation_signed(data[0], srcs[i], keeps[i], cd)
+            c0 = _apply_permutation_signed(data[0], src, keep, cd)
         out0 = _add(c0[None], delta[0][None], cd)[0]
-        outs.append(jnp.stack([out0, delta[1]]))
-    return jnp.stack(outs)
+        return jnp.stack([out0, delta[1]])
+
+    return jax.vmap(one)(perms, srcs, keeps, keys_pp)
 
 
 @partial(jax.jit, static_argnames=("shift", "ntt_domain"))
@@ -1100,10 +1103,13 @@ class Evaluator:
         Round-4 schedule: the switching keys are pre-permuted by the
         inverse automorphism (cached on the Evaluator per (key, elt)),
         so the per-element hot path gathers only the (2, used, n) inner
-        products instead of the whole (k, used, n) digit tensor — the
-        gather volume that made the first vmapped schedule measure
-        slower than a sequential loop despite a 2.8x flop advantage
-        (benchmarks/hoist_bench.py)."""
+        products instead of the whole (k, used, n) digit tensor.
+        Measured (benchmarks/hoist_bench.py): 2.9x faster than a
+        sequential rotation loop on the CPU backend at n=16384/m=8
+        (close to the 2.5x op-count ratio); on the harness-tunneled
+        v5e the sequential loop still measures faster (per-element
+        lane gathers don't pipeline there) — prefer rotate_rows in a
+        loop on that backend when wall-clock matters."""
         if ct.size != 2:
             raise ValueError("apply_galois_many expects size-2 ciphertexts "
                              "(relinearize first)")

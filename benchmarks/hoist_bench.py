@@ -57,7 +57,7 @@ def main():
         scheme=T.SchemeType.bfv, poly_modulus_degree=N,
         coeff_modulus=tuple(T.CoeffModulus.create(N, Q_BITS)),
         plain_modulus=T.PlainModulus.batching(N, 20))
-    sec = T.SecurityLevel.tc128 if N >= 8192 else T.SecurityLevel.none
+    sec = T.SecurityLevel.tc128 if N >= 16384 else T.SecurityLevel.none
     ctx = T.HeContext(parms, sec_level=sec)
     kg = T.KeyGenerator(ctx, seed=rnd.seed_from_uint64(0xFACE))
     enc = T.Encryptor(ctx, secret_key=kg.secret_key)

@@ -129,13 +129,24 @@ def test_conv2d_random_shapes(bfv, fuzz_seed):
     x = rng.integers(0, 32, (B, CI, H, W), dtype=np.uint64)
     w = rng.integers(0, 32, (CO, CI, KH, KW), dtype=np.uint64)
 
-    helper = Conv2dHelper(B, H, W, KH, KW, CI, CO, N, objective=0)
-    w_pt = helper.encode_weights(be.encode_polynomial, w)
-    x_ct = helper.encrypt_inputs(enc, be.encode_polynomial, x)
-    y_ct = helper.conv2d(ev, x_ct, w_pt)
+    reverse = bool(rng.integers(0, 2))
+    objective = 1 if reverse else 0
+    helper = Conv2dHelper(B, H, W, KH, KW, CI, CO, N, objective=objective)
+    if reverse:
+        # encrypted weights x plain inputs (conv2dReverse,
+        # LinearHelper.cuh:1020-1043)
+        w_ct = helper.encode_weights(be.encode_polynomial, w) \
+            .encrypt_symmetric(enc)
+        x_pt = helper.encode_inputs(be.encode_polynomial, x)
+        y_ct = helper.conv2d_reverse(ev, x_pt, w_ct)
+    else:
+        w_pt = helper.encode_weights(be.encode_polynomial, w)
+        x_ct = helper.encrypt_inputs(enc, be.encode_polynomial, x)
+        y_ct = helper.conv2d(ev, x_ct, w_pt)
     blob = helper.serialize_outputs(ev, ctx, y_ct)
     y_ct2 = helper.deserialize_outputs(ev, ctx, blob)
     y = helper.decrypt_outputs(be.decode_polynomial, dec, y_ct2)
     np.testing.assert_array_equal(
         y.astype(object) % t, _conv_oracle(x, w, t),
-        err_msg=f"B={B} H={H} W={W} KH={KH} KW={KW} CI={CI} CO={CO}")
+        err_msg=f"B={B} H={H} W={W} KH={KH} KW={KW} CI={CI} CO={CO} "
+                f"reverse={reverse}")

@@ -320,3 +320,34 @@ def test_binder_metadata_surface():
     fcd = ctx.first_context_data()
     assert len(fcd.parms().coeff_modulus()) == len(Q_BITS) - 1
     assert fcd.parms().parms_id() == ctx.first_parms_id()
+
+
+def test_extension_methods_beyond_binder():
+    """The beyond-reference extensions ride the same shim style: batched
+    LWE extraction and hoisted multi-rotation (no binder counterpart —
+    name-parity is covered by test_binder_surface; these are additive)."""
+    pytroy.initialize_kernel()
+    parms = _params(pytroy.SchemeType.bfv)
+    ctx = pytroy.SEALContext(parms, sec_level=pytroy.SecurityLevel.none)
+    kg = pytroy.KeyGenerator(ctx)
+    encryptor = pytroy.Encryptor(ctx, kg.create_public_key())
+    encryptor.set_secret_key(kg.secret_key())
+    decryptor = pytroy.Decryptor(ctx, kg.secret_key())
+    encoder = pytroy.BatchEncoder(ctx)
+    ev = pytroy.Evaluator(ctx)
+    gk = kg.create_galois_keys([1, 2])
+    vals = np.arange(N, dtype=np.uint64)
+    ct = encryptor.encrypt(encoder.encode_polynomial(vals))
+    lwes = ev.extract_lwe_many(ct, [0, 3, 9])
+    for term, lwe in zip([0, 3, 9], lwes):
+        back = ev.assemble_lwe(lwe)
+        out = encoder.decode_polynomial(decryptor.decrypt(back))
+        assert int(out[0]) == int(vals[term])
+    ct2 = encryptor.encrypt(encoder.encode(vals))
+    outs = ev.rotate_many(ct2, [1, 2], gk)
+    half = N // 2
+    for s, o in zip([1, 2], outs):
+        got = encoder.decode(decryptor.decrypt(o))
+        want = np.concatenate([np.roll(vals[:half], -s),
+                               np.roll(vals[half:], -s)])
+        np.testing.assert_array_equal(np.asarray(got), want)

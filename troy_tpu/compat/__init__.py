@@ -894,6 +894,24 @@ class Evaluator:
         return Ciphertext(self._inner.pack_lwe_ciphertexts(
             [l._inner for l in lwes], auto_keys._inner))
 
+    # ---- beyond-reference extensions (no binder counterpart) ----
+    def extract_lwe_many(self, c: Ciphertext,
+                         terms: Sequence[int]) -> list:
+        """Batched extractLWE: one executable for any term set (see
+        evaluator.extract_lwe_many)."""
+        return [LWECiphertext(l) for l in
+                self._inner.extract_lwe_many(c._inner,
+                                             [int(t) for t in terms])]
+
+    def rotate_many(self, c: Ciphertext, steps: Sequence[int],
+                    galois_keys: GaloisKeys) -> list:
+        """Hoisted multi-rotation of one ciphertext (see
+        evaluator.rotate_many for the measured status)."""
+        return [Ciphertext(r) for r in
+                self._inner.rotate_many(c._inner,
+                                        [int(s) for s in steps],
+                                        galois_keys._inner)]
+
     def negacyclic_shift(self, c: Ciphertext, shift: int,
                          out: Optional[Ciphertext] = None):
         return _assign_or_return(

@@ -94,3 +94,36 @@ def test_bgv_matmul_cipher_weights(bgv):
     y = helper.decrypt_outputs(be.decode_polynomial, dec, y_ct)
     expect = (x.astype(object) @ w.astype(object)) % t
     np.testing.assert_array_equal(y.astype(object) % t, expect)
+
+
+def test_bgv_conv2d_reverse(bgv):
+    """Encrypted weights x plain inputs under BGV (conv2dReverse,
+    LinearHelper.cuh:1020-1043) — pins the scheme-generic reverse path's
+    NTT-form plaintext handling and correction factors."""
+    ctx, enc, dec, ev, be = bgv
+    t = int(ctx.first_context_data.plain_modulus)
+    rng = np.random.default_rng(13)
+    B, H, W, KH, KW, CI, CO = 2, 4, 4, 2, 2, 1, 2
+    img = rng.integers(0, t, (B, CI, H, W), dtype=np.uint64)
+    ker = rng.integers(0, t, (CO, CI, KH, KW), dtype=np.uint64)
+
+    helper = Conv2dHelper(B, H, W, KH, KW, CI, CO, N, objective=1)
+    w_ct = helper.encode_weights(be.encode_polynomial, ker) \
+        .encrypt_symmetric(enc)
+    x_pt = helper.encode_inputs(be.encode_polynomial, img)
+    y_ct = helper.conv2d_reverse(ev, x_pt, w_ct)
+    y = helper.decrypt_outputs(be.decode_polynomial, dec, y_ct)
+
+    oh, ow = H - KH + 1, W - KW + 1
+    expect = np.zeros((B, CO, oh, ow), dtype=object)
+    for b in range(B):
+        for co in range(CO):
+            for i in range(oh):
+                for j in range(ow):
+                    acc = 0
+                    for ci in range(CI):
+                        acc += int((img[b, ci, i:i + KH, j:j + KW]
+                                    .astype(object) * ker[co, ci]
+                                    .astype(object)).sum())
+                    expect[b, co, i, j] = acc % t
+    np.testing.assert_array_equal(y.astype(object) % t, expect)

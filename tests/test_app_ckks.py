@@ -99,3 +99,32 @@ def test_ckks_conv2d(ckks):
                         expect[b, co, i, j] += (
                             x[b, ci, i:i + KH, j:j + KW] * w[co, ci]).sum()
     np.testing.assert_allclose(y.astype(np.float64), expect, atol=1e-3)
+
+
+def test_ckks_conv2d_reverse(ckks):
+    """Encrypted weights x plain inputs under CKKS (conv2dReverse,
+    LinearHelper.cuh:1020-1043 / the CKKS twin LinearHelperCKKS.cuh) —
+    pins the reverse path's NTT-form plaintext level/scale handling."""
+    ctx, enc, dec, ev, encd = ckks
+    B, H, W_, KH, KW, CI, CO = 1, 4, 4, 2, 2, 2, 2
+    rng = np.random.default_rng(21)
+    img = rng.uniform(-1, 1, (B, CI, H, W_))
+    ker = rng.uniform(-1, 1, (CO, CI, KH, KW))
+
+    ep = lambda v: encd.encode_polynomial(v, SCALE)
+    dp = encd.decode_polynomial
+    helper = Conv2dHelper(B, H, W_, KH, KW, CI, CO, N, objective=1)
+    w_ct = helper.encode_weights(ep, ker).encrypt_symmetric(enc)
+    x_pt = helper.encode_inputs(ep, img)
+    y_ct = helper.conv2d_reverse(ev, x_pt, w_ct)
+    got = helper.decrypt_outputs(dp, dec, y_ct)
+
+    YH, YW = H - KH + 1, W_ - KW + 1
+    expect = np.zeros((B, CO, YH, YW))
+    for b in range(B):
+        for co in range(CO):
+            for i in range(YH):
+                for j in range(YW):
+                    expect[b, co, i, j] = np.sum(
+                        img[b, :, i:i + KH, j:j + KW] * ker[co])
+    assert np.allclose(got, expect, atol=1e-3)

@@ -518,26 +518,64 @@ def _hoisted_galois_core(data: jnp.ndarray, perms: jnp.ndarray,
     return jax.vmap(one)(perms, srcs, keeps, keys_pp)
 
 
+# Compile-cost guard for the pack tree: XLA's compile time for a vmapped
+# key-switch fold grows superlinearly in the batch width (measured ~90 s
+# at width 2 and tens of minutes at width 8+ through the axon remote
+# helper at n=16384), so a layer's folds run in bounded-width dispatches.
+# Word-neutral: same arithmetic, different dispatch boundaries; the extra
+# dispatches cost microseconds against the 14 G/fold key switches.
+_MAX_GALOIS_FOLDS_PER_DISPATCH = 2
+
+
 @partial(jax.jit, static_argnames=("shift", "ntt_domain"))
-def _pack_tree_layer_core(cur: jnp.ndarray, src: jnp.ndarray,
-                          keep: jnp.ndarray, key: jnp.ndarray,
-                          cd: ContextData, key_cd: ContextData,
-                          shift: int, ntt_domain: bool) -> jnp.ndarray:
-    """One layer of the LWE packing tree (evaluator_cuda.cu:2278-2341),
-    batched over every (even, odd) pair: cur (2m, 2, k, n) coefficient
-    domain -> (m, 2, k, n). even + odd*x^shift + phi(even - odd*x^shift)
-    with all m Galois key-switches fused into one dispatch."""
+def _pack_fold_prepare(cur: jnp.ndarray, cd: ContextData,
+                       shift: int, ntt_domain: bool):
+    """Shift/fold half of a pack-tree layer: cur (2m, 2, k, n) ->
+    (even (m, 2, k, n), folded (m, 2, k, n)); folded NTT'd for NTT-form
+    schemes."""
     even, odd = cur[0::2], cur[1::2]
     temp = dpoly.negacyclic_shift(odd, shift, cd.ntt)
     folded = dpoly.rns_sub(even, temp, cd.ntt)
     even = dpoly.rns_add(even, temp, cd.ntt)
     if ntt_domain:
         folded = dntt.rns_ntt_forward(folded, cd.ntt)
-    rotated = _batched_galois_fold(folded, src, keep, key, cd, key_cd,
-                                   ntt_domain)
+    return even, folded
+
+
+@partial(jax.jit, static_argnames=("ntt_domain",))
+def _batched_galois_fold_jit(folded: jnp.ndarray, src: jnp.ndarray,
+                             keep: jnp.ndarray, key: jnp.ndarray,
+                             cd: ContextData, key_cd: ContextData,
+                             ntt_domain: bool) -> jnp.ndarray:
+    return _batched_galois_fold(folded, src, keep, key, cd, key_cd,
+                                ntt_domain)
+
+
+@partial(jax.jit, static_argnames=("ntt_domain",))
+def _pack_fold_finish(even: jnp.ndarray, rotated: jnp.ndarray,
+                      cd: ContextData, ntt_domain: bool) -> jnp.ndarray:
     if ntt_domain:
         rotated = dntt.rns_ntt_inverse(rotated, cd.ntt)
     return dpoly.rns_add(even, rotated, cd.ntt)
+
+
+def _pack_tree_layer_core(cur: jnp.ndarray, src: jnp.ndarray,
+                          keep: jnp.ndarray, key: jnp.ndarray,
+                          cd: ContextData, key_cd: ContextData,
+                          shift: int, ntt_domain: bool) -> jnp.ndarray:
+    """One layer of the LWE packing tree (evaluator_cuda.cu:2278-2341),
+    batched over every (even, odd) pair: cur (2m, 2, k, n) coefficient
+    domain -> (m, 2, k, n). even + odd*x^shift + phi(even - odd*x^shift),
+    the m Galois key-switches batched in bounded-width dispatches (see
+    _MAX_GALOIS_FOLDS_PER_DISPATCH)."""
+    even, folded = _pack_fold_prepare(cur, cd, shift, ntt_domain)
+    m = folded.shape[0]
+    step = max(1, _MAX_GALOIS_FOLDS_PER_DISPATCH)
+    parts = [_batched_galois_fold_jit(folded[i:i + step], src, keep, key,
+                                      cd, key_cd, ntt_domain)
+             for i in range(0, m, step)]
+    rotated = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+    return _pack_fold_finish(even, rotated, cd, ntt_domain)
 
 
 @partial(jax.jit, static_argnames=("mul", "ntt_domain"))
@@ -1295,7 +1333,11 @@ class Evaluator:
         """Trace down to the subfield of degree 2^logn: repeatedly fold with
         the automorphism x -> x^(m/2^i + 1) (evaluator_cuda.cu:2251-2261).
         Annihilates all coefficients except multiples of n/2^logn, scaling
-        the survivors by n/2^logn. All fold steps run as one executable."""
+        the survivors by n/2^logn. Fold steps run in bounded-length
+        dispatches: XLA's compile time grows superlinearly in the number
+        of chained key switches per program (a full n=16384 trace chains
+        10 — unbounded it takes tens of minutes to compile), and the
+        chunking is word-neutral."""
         if ct.size != 2:
             raise ValueError("field_trace expects size-2 ciphertexts")
         srcs, keeps, keys = self._field_trace_steps(
@@ -1303,10 +1345,14 @@ class Evaluator:
         if not srcs:
             return ct
         cd = self._cd(ct)
-        data = _field_trace_batch_core(
-            ct.data[None], srcs, keeps, keys, cd,
-            self.context.key_context_data, 0, ct.is_ntt_form)[0]
-        return ct.replace(data=data, seed=0)
+        key_cd = self.context.key_context_data
+        data = ct.data[None]
+        step = max(1, _MAX_GALOIS_FOLDS_PER_DISPATCH)
+        for i in range(0, len(srcs), step):
+            data = _field_trace_batch_core(
+                data, srcs[i:i + step], keeps[i:i + step],
+                keys[i:i + step], cd, key_cd, 0, ct.is_ntt_form)
+        return ct.replace(data=data[0], seed=0)
 
     def pack_lwe_ciphertexts(self, lwes: Sequence[LWECiphertext],
                              automorphism_keys: GaloisKeys) -> Ciphertext:

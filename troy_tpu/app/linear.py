@@ -226,21 +226,17 @@ def _run_tile_contraction(ev: Evaluator, ct2d: "Cipher2d", pt2d: "Plain2d",
                      for x in range(out.shape[0])])
 
 
-@partial(jax.jit, static_argnames=("pre_shift", "mul", "pack_slots",
-                                   "ntt_domain"))
-def _pack_outputs_core(data: jnp.ndarray, srcs, keeps, keys,
-                       cd: ContextData, key_cd: ContextData,
-                       pre_shift: int, mul: int, pack_slots: int,
-                       ntt_domain: bool) -> jnp.ndarray:
-    """The whole packOutputs pipeline (LinearHelper.cuh:592-650) over ALL
-    output ciphertexts as one executable: pre-shift, divide by
-    n/pack_slots, field trace (batched key-switches), then fold each group
-    of pack_slots traces into one ciphertext with per-slot monomial
-    shifts. data (m, 2, k, n) -> (ceil(m/pack_slots), 2, k, n)."""
-    if pre_shift:
-        data = dpoly.negacyclic_shift(data, pre_shift, cd.ntt)
-    data = _field_trace_batch_core(data, srcs, keeps, keys, cd, key_cd,
-                                   mul, ntt_domain)
+@partial(jax.jit, static_argnames=("pre_shift",))
+def _pack_preshift_core(data: jnp.ndarray, cd: ContextData,
+                        pre_shift: int) -> jnp.ndarray:
+    return dpoly.negacyclic_shift(data, pre_shift, cd.ntt)
+
+
+@partial(jax.jit, static_argnames=("pack_slots",))
+def _pack_group_fold_core(data: jnp.ndarray, cd: ContextData,
+                          pack_slots: int) -> jnp.ndarray:
+    """Fold each group of pack_slots traced ciphertexts into one with
+    per-slot monomial shifts (the tail of LinearHelper.cuh:592-650)."""
     m = data.shape[0]
     groups = ceil_div(m, pack_slots)
     pad = groups * pack_slots - m
@@ -253,6 +249,35 @@ def _pack_outputs_core(data: jnp.ndarray, srcs, keeps, keys,
         acc = dpoly.rns_add(
             acc, dpoly.negacyclic_shift(grouped[:, s], s, cd.ntt), cd.ntt)
     return acc
+
+
+def _pack_outputs_core(data: jnp.ndarray, srcs, keeps, keys,
+                       cd: ContextData, key_cd: ContextData,
+                       pre_shift: int, mul: int, pack_slots: int,
+                       ntt_domain: bool) -> jnp.ndarray:
+    """The packOutputs pipeline (LinearHelper.cuh:592-650) over ALL
+    output ciphertexts: pre-shift, divide by n/pack_slots, field trace
+    (batched key-switches), then fold each group of pack_slots traces
+    into one ciphertext. data (m, 2, k, n) ->
+    (ceil(m/pack_slots), 2, k, n). The trace runs in bounded-length
+    dispatches: XLA's compile time grows superlinearly in the chained
+    key-switch count per program (evaluator._MAX_GALOIS_FOLDS_PER_
+    DISPATCH; a full n=16384 trace chains 10)."""
+    from ..evaluator import _MAX_GALOIS_FOLDS_PER_DISPATCH
+    if pre_shift:
+        data = _pack_preshift_core(data, cd, pre_shift)
+    step = max(1, _MAX_GALOIS_FOLDS_PER_DISPATCH)
+    first = True
+    for i in range(0, len(srcs), step):
+        data = _field_trace_batch_core(
+            data, srcs[i:i + step], keeps[i:i + step], keys[i:i + step],
+            cd, key_cd, mul if first else 0, ntt_domain)
+        first = False
+    if first and mul:
+        # no trace steps: apply the divide scaling alone
+        data = _field_trace_batch_core(data, (), (), (), cd, key_cd,
+                                       mul, ntt_domain)
+    return _pack_group_fold_core(data, cd, pack_slots)
 
 
 def ceil_div(a: int, b: int) -> int:

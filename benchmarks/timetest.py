@@ -316,8 +316,7 @@ def main():
     def gate(label, ct_like, want, approx=False, **meta):
         nonlocal ok_all
         c = ct1.replace(data=ct_like, seed=0, **meta)
-        got = (encd.decode(dec.decrypt(c)) if not is_ckks
-               else encd.decode(dec.decrypt(c)))
+        got = encd.decode(dec.decrypt(c))
         if is_ckks:
             ok = bool(np.allclose(np.real(got), want, rtol=1e-3,
                                   atol=1e-3))

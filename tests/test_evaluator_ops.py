@@ -241,3 +241,43 @@ def test_rotate_many_mixed_keys():
         np.testing.assert_array_equal(
             be.decode(dec.decrypt(out)), be.decode(dec.decrypt(ref)),
             err_msg=f"step={s}")
+
+
+def test_prepermuted_key_cache_coexists_across_key_sets():
+    """Two GaloisKeys objects sharing an element must each keep their own
+    pre-permuted cache entry (keyed by key object identity, not elt), and
+    the cache stays LRU-bounded."""
+    parms = T.EncryptionParameters(
+        scheme=T.SchemeType.bfv, poly_modulus_degree=64,
+        coeff_modulus=tuple(T.CoeffModulus.create(64, [40, 40, 40])),
+        plain_modulus=T.PlainModulus.batching(64, 16))
+    ctx = T.HeContext(parms, sec_level=T.SecurityLevel.none)
+    kg1 = T.KeyGenerator(ctx, seed=rnd.seed_from_uint64(81))
+    kg2 = T.KeyGenerator(ctx, seed=rnd.seed_from_uint64(82))
+    gk1 = kg1.create_galois_keys(steps=[1])
+    gk2 = kg2.create_galois_keys(steps=[1])
+    ev = T.Evaluator(ctx)
+    elt = T.utils.galois.get_elt_from_step(64, 1)
+    pp1 = ev._prepermuted_key(gk1, elt, 64)
+    pp2 = ev._prepermuted_key(gk2, elt, 64)
+    assert len(ev._pp_keys) == 2            # both entries coexist
+    assert ev._prepermuted_key(gk1, elt, 64) is pp1   # both still hit
+    assert ev._prepermuted_key(gk2, elt, 64) is pp2
+    # the bound evicts oldest entries on insert
+    ev.PP_KEY_CACHE_MAX = 1
+    kg3 = T.KeyGenerator(ctx, seed=rnd.seed_from_uint64(83))
+    gk3 = kg3.create_galois_keys(steps=[1])
+    ev._prepermuted_key(gk3, elt, 64)
+    assert len(ev._pp_keys) == 1
+    del ev.PP_KEY_CACHE_MAX                 # restore the class default
+
+
+def test_context_accepts_numpy_degree():
+    """poly_modulus_degree arriving as a numpy integer (e.g. from a
+    loaded config) must build a context like a Python int."""
+    parms = T.EncryptionParameters(
+        scheme=T.SchemeType.bfv, poly_modulus_degree=np.int64(64),
+        coeff_modulus=tuple(T.CoeffModulus.create(64, [40, 40])),
+        plain_modulus=T.PlainModulus.batching(64, 16))
+    ctx = T.HeContext(parms, sec_level=T.SecurityLevel.none)
+    assert ctx.first_context_data.ntt.n == 64

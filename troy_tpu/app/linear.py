@@ -29,7 +29,8 @@ from ..context import HeContext, ContextData
 from ..he_types import Ciphertext, Plaintext, GaloisKeys, RelinKeys
 from ..encryptor import Encryptor
 from ..decryptor import Decryptor
-from ..evaluator import (Evaluator, _bfv_multiply, _field_trace_batch_core,
+from ..evaluator import (Evaluator, _MAX_GALOIS_FOLDS_PER_DISPATCH,
+                         _bfv_multiply, _field_trace_batch_core,
                          _ntt_form_multiply, _plain_to_ntt)
 from ..encoder import BatchEncoder
 from ..ops import ntt as dntt
@@ -263,7 +264,6 @@ def _pack_outputs_core(data: jnp.ndarray, srcs, keeps, keys,
     dispatches: XLA's compile time grows superlinearly in the chained
     key-switch count per program (evaluator._MAX_GALOIS_FOLDS_PER_
     DISPATCH; a full n=16384 trace chains 10)."""
-    from ..evaluator import _MAX_GALOIS_FOLDS_PER_DISPATCH
     if pre_shift:
         data = _pack_preshift_core(data, cd, pre_shift)
     step = max(1, _MAX_GALOIS_FOLDS_PER_DISPATCH)

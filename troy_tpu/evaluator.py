@@ -800,10 +800,12 @@ class Evaluator:
 
     def __init__(self, context: HeContext):
         self.context = context
-        # hoisted-rotation pre-permuted switching keys: elt -> (source
-        # key array, permuted copy); identity-checked on every hit so a
-        # different GaloisKeys object never serves a stale entry
-        self._pp_keys = {}
+        # hoisted-rotation pre-permuted switching keys: (id(key), elt) ->
+        # (source key array, permuted copy); identity-checked on every
+        # hit so a different GaloisKeys object never serves a stale
+        # entry; LRU-bounded (PP_KEY_CACHE_MAX)
+        from collections import OrderedDict
+        self._pp_keys = OrderedDict()
 
     # ---- helpers ----
     def _cd(self, ct: Ciphertext) -> ContextData:
@@ -1114,21 +1116,34 @@ class Evaluator:
                                             cd, key_cd)
         return ct.replace(data=data, seed=0)
 
+    # Bound on cached pre-permuted switching keys: each entry pins the
+    # source key AND its permuted copy in HBM (~11 MB each at n=16384,
+    # kf=6), so the cache is LRU-bounded; raise it for wide BSGS
+    # transforms on memory-rich chips.
+    PP_KEY_CACHE_MAX = 32
+
     def _prepermuted_key(self, galois_keys: GaloisKeys, elt: int,
                          n: int) -> jnp.ndarray:
         """Switching key for `elt` permuted by the INVERSE automorphism
-        along the evaluation axis, cached per (key object, elt) — the
+        along the evaluation axis, LRU-cached per (key object, elt) — the
         hoisted schedule's per-element setup (one lane gather of the key,
-        done once; a cache entry costs one key's worth of HBM)."""
+        done once; a cache entry costs one key's worth of HBM). The key
+        object is identity-checked on every hit, so distinct GaloisKeys
+        sharing an element each get their own entry and a regenerated
+        key never serves a stale permutation."""
         src = galois_keys.keys[elt]
-        hit = self._pp_keys.get(elt)
+        cache_key = (id(src), elt)
+        hit = self._pp_keys.get(cache_key)
         if hit is not None and hit[0] is src:
+            self._pp_keys.move_to_end(cache_key)
             return hit[1]
         perm = np.asarray(galois_util.ntt_permutation_dev(n, elt))
         inv = np.empty_like(perm)
         inv[perm] = np.arange(n, dtype=perm.dtype)
         pp = jnp.take(src, jnp.asarray(inv), axis=-1)
-        self._pp_keys[elt] = (src, pp)
+        self._pp_keys[cache_key] = (src, pp)
+        while len(self._pp_keys) > self.PP_KEY_CACHE_MAX:
+            self._pp_keys.popitem(last=False)
         return pp
 
     def apply_galois_many(self, ct: Ciphertext, elts: Sequence[int],

@@ -134,6 +134,7 @@ class RnsNttTables(struct.PyTreeNode):
     @classmethod
     def from_moduli(cls, n: int, moduli: Sequence[int],
                     use_mxu: Optional[bool] = None) -> "RnsNttTables":
+        n = int(n)   # tolerate numpy integers from loaded configs
         values = tuple(int(q) for q in moduli)
         if use_mxu is None:
             use_mxu = n >= MXU_MIN_N

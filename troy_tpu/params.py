@@ -61,6 +61,11 @@ class EncryptionParameters:
     plain_modulus: Modulus = Modulus(0)
 
     def __post_init__(self):
+        # normalize numpy integers (loaded configs) to Python ints: the
+        # host toolchain relies on int methods (bit_length) and exact
+        # big-int arithmetic
+        object.__setattr__(self, "poly_modulus_degree",
+                           int(self.poly_modulus_degree))
         if not isinstance(self.coeff_modulus, tuple):
             object.__setattr__(self, "coeff_modulus", tuple(self.coeff_modulus))
         if not isinstance(self.plain_modulus, Modulus):

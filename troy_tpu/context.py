@@ -84,7 +84,8 @@ class ContextData(struct.PyTreeNode):
 
 def _build_context_data(parms: EncryptionParameters, chain_index: int,
                         qualifiers: EncryptionParameterQualifiers,
-                        use_mxu=None) -> ContextData:
+                        use_mxu=None,
+                        internal_prime_bits: int = None) -> ContextData:
     n = parms.poly_modulus_degree
     values = parms.coeff_values
     t = int(parms.plain_modulus)
@@ -95,7 +96,10 @@ def _build_context_data(parms: EncryptionParameters, chain_index: int,
     if qualifiers.using_batching:
         plain_ntt = NttTables.from_host(make_ntt_tables(n, t))
 
-    rns_tool = make_rns_tool(n, values, t if parms.scheme != SchemeType.ckks else 0)
+    from .modulus import INTERNAL_MOD_BIT_COUNT
+    rns_tool = make_rns_tool(n, values,
+                             t if parms.scheme != SchemeType.ckks else 0,
+                             internal_prime_bits or INTERNAL_MOD_BIT_COUNT)
 
     bsk_ntt = None
     if parms.scheme == SchemeType.bfv:
@@ -156,14 +160,22 @@ class HeContext:
     def __init__(self, parms: EncryptionParameters,
                  expand_mod_chain: bool = True,
                  sec_level: SecurityLevel = SecurityLevel.tc128,
-                 use_mxu: bool = None):
+                 use_mxu: bool = None,
+                 internal_prime_bits: int = None):
+        """``internal_prime_bits``: width of the BEHZ auxiliary-base primes.
+        None/61 = reference parity (rns.cpp getPrimes(61, ...)); 34-60 is
+        an opt-in TPU perf mode — narrower aux primes need fewer MXU byte
+        planes, shrinking the BFV multiply's Bsk NTTs ~2.5x at 40 bits
+        (see utils/rns.RnsTool docstring for the correctness sizing)."""
         qualifiers = validate(parms, sec_level)
         if not qualifiers.parameters_set:
             raise ValueError(f"invalid encryption parameters: "
                              f"{qualifiers.error_message}")
         self.sec_level = sec_level
+        self.internal_prime_bits = internal_prime_bits
         chain: List[ContextData] = [
-            _build_context_data(parms, 0, qualifiers, use_mxu)]
+            _build_context_data(parms, 0, qualifiers, use_mxu,
+                                internal_prime_bits)]
 
         self._using_keyswitching = len(parms.coeff_modulus) > 1
         if self._using_keyswitching:
@@ -174,7 +186,8 @@ class HeContext:
                 if not q.parameters_set:
                     raise ValueError(f"invalid parameters at chain level {idx}: "
                                      f"{q.error_message}")
-                chain.append(_build_context_data(level_parms, idx, q, use_mxu))
+                chain.append(_build_context_data(level_parms, idx, q, use_mxu,
+                                                 internal_prime_bits))
                 if not expand_mod_chain or len(level_parms.coeff_modulus) == 1:
                     break
                 level_parms = level_parms.drop_last()

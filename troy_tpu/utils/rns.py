@@ -133,16 +133,58 @@ class BaseConverter:
         return tuple(out)
 
 
+def _draw_aux_primes(factor: int, bit_size: int, forbidden: set,
+                     bound: int) -> Tuple[int, int, Tuple[int, ...]]:
+    """Draw auxiliary primes of `bit_size` bits congruent 1 mod `factor`,
+    skipping `forbidden` values (the q primes and t): first m_sk, then
+    gamma, then B primes until prod(B) * m_sk > bound (exact product)."""
+    count = 8
+    while True:
+        cand = [p for p in numth.get_primes(factor, bit_size, count)
+                if p not in forbidden]
+        if len(cand) >= 3:
+            m_sk, gamma = cand[0], cand[1]
+            b_primes = []
+            prod = m_sk
+            for p in cand[2:]:
+                if prod > bound:
+                    break
+                b_primes.append(p)
+                prod *= p
+            if prod > bound:
+                return m_sk, gamma, tuple(b_primes)
+        count *= 2
+        if count > 4096:   # ~> any real base; get_primes raises first anyway
+            raise RuntimeError(
+                f"cannot build a {bit_size}-bit auxiliary base large enough "
+                f"for this coefficient modulus")
+
+
 @dataclass(frozen=True)
 class RnsTool:
     """Per-level RNS tool: the BEHZ auxiliary bases and every scalar
     precomputation needed by multiply / mod-switch / decrypt
     (rns.cpp:581-775). All fields are hashable Python ints/tuples so the
-    whole object is a static jit argument."""
+    whole object is a static jit argument.
+
+    ``internal_prime_bits`` sets the bit width of the auxiliary-base primes
+    (B, m_sk, gamma). The default (61, INTERNAL_MOD_BIT_COUNT) reproduces the
+    reference's choice (rns.cpp:628-630 getPrimes(61, ...)) word for word.
+    Narrower widths are a TPU perf knob: the MXU NTT runs ceil(bits/8) byte
+    planes per limb, so 40-bit aux primes run 5x5 plane pairs where 61-bit
+    primes need 8x8 — the BEHZ lift NTTs over Bsk shrink ~2.5x. Correctness
+    is preserved by sizing the base on EXACT products: the BEHZ bound
+    requires prod(Bsk) > n * t * Q * (1+rho)^2 (rho ~ k/m_tilde); we enforce
+    the strictly stronger prod(B) * m_sk > 2^33 * t * Q, which covers every
+    n <= 2^30 (the framework caps n at 2^20). Aux primes are drawn skipping
+    any value in base q or equal to t, so the coprimality the conversions
+    need (Q^-1 mod b_i, etc.) always exists — at 61 bits the reference gets
+    this for free because user primes are <= 60 bits."""
 
     n: int                          # poly_modulus_degree
     base_q: RnsBase
     t: int                          # plain modulus (0 for CKKS)
+    internal_prime_bits: int = INTERNAL_MOD_BIT_COUNT
 
     base_B: RnsBase = field(init=False)
     base_Bsk: RnsBase = field(init=False)
@@ -181,15 +223,32 @@ class RnsTool:
         total_coeff_bits = q.base_prod.bit_length()
         t_bits = t.bit_length() if t else 0
 
-        # size of aux base B: grow by one if K*n*t*q^2 could overflow q*prod(B)*m_sk
-        base_B_size = k
-        if 32 + t_bits + total_coeff_bits >= INTERNAL_MOD_BIT_COUNT * k + INTERNAL_MOD_BIT_COUNT:
-            base_B_size += 1
-
-        aux = numth.get_primes(2 * self.n, INTERNAL_MOD_BIT_COUNT, base_B_size + 2)
-        m_sk, gamma = aux[0], aux[1]
-        b_primes = aux[2:2 + base_B_size]
+        b_bits = self.internal_prime_bits
         m_tilde = 1 << 32
+        if b_bits == INTERNAL_MOD_BIT_COUNT:
+            # Parity path: the reference's sizing heuristic, word for word
+            # (rns.cpp:585-630): B has one prime per q limb, plus one if
+            # m_tilde*t*Q could overflow the 61-bit capacity estimate.
+            base_B_size = k
+            if 32 + t_bits + total_coeff_bits >= INTERNAL_MOD_BIT_COUNT * k + INTERNAL_MOD_BIT_COUNT:
+                base_B_size += 1
+            aux = numth.get_primes(2 * self.n, INTERNAL_MOD_BIT_COUNT,
+                                   base_B_size + 2)
+            m_sk, gamma = aux[0], aux[1]
+            b_primes = aux[2:2 + base_B_size]
+        else:
+            # Narrow internal base: size B on EXACT products so narrower
+            # primes never violate the BEHZ bound (class docstring).
+            if not 34 <= b_bits <= 60:
+                raise ValueError(
+                    "internal_prime_bits must be 61 (reference parity) or in "
+                    f"[34, 60]; got {b_bits}")
+            forbidden = set(q.values) | {t}
+            m_sk, gamma, b_primes = _draw_aux_primes(
+                2 * self.n, b_bits, forbidden,
+                # prod(B)*m_sk must exceed 2^33 * t * Q (t=1 for CKKS)
+                bound=(max(t, 1) * q.base_prod) << 33)
+            base_B_size = len(b_primes)
 
         base_B = RnsBase(tuple(Modulus(p) for p in b_primes))
         base_Bsk = base_B.extend(m_sk)
@@ -249,15 +308,19 @@ class RnsTool:
         return tuple(make_ntt_tables(self.n, v) for v in self.base_Bsk.values)
 
     def __hash__(self):
-        return hash((self.n, self.base_q.values, self.t))
+        return hash((self.n, self.base_q.values, self.t,
+                     self.internal_prime_bits))
 
     def __eq__(self, other):
         return (isinstance(other, RnsTool)
                 and self.n == other.n
                 and self.base_q.values == other.base_q.values
-                and self.t == other.t)
+                and self.t == other.t
+                and self.internal_prime_bits == other.internal_prime_bits)
 
 
 @lru_cache(maxsize=None)
-def make_rns_tool(n: int, q_values: Tuple[int, ...], t: int) -> RnsTool:
-    return RnsTool(n=n, base_q=RnsBase(tuple(Modulus(v) for v in q_values)), t=t)
+def make_rns_tool(n: int, q_values: Tuple[int, ...], t: int,
+                  internal_prime_bits: int = INTERNAL_MOD_BIT_COUNT) -> RnsTool:
+    return RnsTool(n=n, base_q=RnsBase(tuple(Modulus(v) for v in q_values)),
+                   t=t, internal_prime_bits=internal_prime_bits)

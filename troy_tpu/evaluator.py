@@ -477,43 +477,51 @@ def _hoisted_galois_core(data: jnp.ndarray, perms: jnp.ndarray,
     Saves the k x (k+1) decompose NTTs on every rotation after the first
     (the dominant cost at small k).
 
-    Round-4 schedule rework: instead of permuting t_hat's evaluation
-    axis per automorphism — (k+1) x used lane-gather rows per element,
-    which dominated the measured time — the switching keys arrive
-    PRE-PERMUTED by the inverse automorphism (keys_pp; computed once
-    per (key, element) and cached by the Evaluator), the inner product
-    runs on the UN-permuted t_hat, and only its (2, used, n) output is
-    gathered before the divide step. The inner product is elementwise
-    in the evaluation index, so
-        inner(perm(t_hat), key)[i] = inner(t_hat, perm_inv(key))[perm[i]]
-    holds word-for-word. The element axis is vmapped: an UNROLLED loop
-    measures ~25% faster still on the CPU backend, but multi-key-switch
-    bodies unrolled past ~2 elements exceed the axon remote compiler's
-    program-size budget, while the vmapped form compiles in seconds at
-    m=16 — compile-safety wins.
+    Round-5 schedule (the TPU-winning one): the switching keys arrive
+    PRE-PERMUTED by the inverse automorphism (keys_pp; computed once per
+    (key, element) and cached by the Evaluator), the WHOLE key switch —
+    inner product AND the divide-by-special-prime contract — runs on
+    un-permuted data, c0 is folded in un-permuted, and ONE permutation
+    of the finished (2, k, n) result lands the automorphism. Validity:
+    the inner product is elementwise in the evaluation index, so
+        inner(perm(t_hat), key) = perm(inner(t_hat, perm_inv(key)))
+    holds word-for-word, and the contract stage commutes with the
+    automorphism up to rounding representatives — its eval-domain ops
+    are pointwise (commute with the lane permutation) and its
+    iNTT -> pointwise-coefficient -> NTT round trip conjugates the lane
+    permutation to the coefficient-domain signed automorphism, which
+    commutes with pointwise coefficient ops except for +-1 rounding
+    choices on sign-flipped coefficients (the add-half floor picks the
+    other representative). Those +-1 units sit far below the key-switch
+    noise; decryption agrees (decrypt-level tests pin this).
 
-    NOT bit-identical to the sequential path in coefficient domain: for
-    sign-flipped coefficients the sequential path reduces the q_j - v
-    representative mod each key prime, while permuting the digit images
-    yields -v mod p_i — the same residue class mod q_j at equal magnitude,
-    so only the rounding noise representative differs; decryption agrees.
+    Why it wins on the TPU: lane gathers, not arithmetic, dominate the
+    hoisted hot path there (measured round 4: 19 gathered rows/element
+    — prods (2 x used) + c0 (k) — ran 2.2x SLOWER than sequential's 10
+    rows + 30 limb-NTTs). Delaying the permutation gathers exactly 2k
+    rows per element, the same lane traffic as the sequential path,
+    while still saving the per-element decompose NTTs — strictly less
+    work than sequential on BOTH axes. The element axis is vmapped:
+    unrolled loops past ~2 elements exceed the axon remote compiler's
+    program-size budget; the vmapped form compiles in seconds at m=16.
+
+    NOT bit-identical to the sequential path (either domain): digit
+    images and divide roundings pick different (equally small)
+    representatives of the same residue classes — see above; decryption
+    agrees.
 
     data (2, k, n); perms (m, n) NTT-domain tables; srcs/keeps (m, n)
-    coefficient-domain tables (used for c0 when not ntt_domain);
+    coefficient-domain tables (used when not ntt_domain);
     keys_pp (m, decomp, 2, kf, n) pre-permuted. Returns (m, 2, k, n)."""
     t_hat = _switch_key_decompose(data[1], cd, key_cd, ntt_domain)
 
     def one(perm, src, keep, key_pp):
-        raw = _switch_key_inner_product(t_hat, key_pp, cd, key_cd)
-        prods = [jnp.take(p, perm, axis=-1) for p in raw]
-        delta = _switch_key_contract(t_hat, key_pp, cd, key_cd,
-                                     prods=prods)
+        delta = _switch_key_contract(t_hat, key_pp, cd, key_cd)
+        out0 = _add(data[0][None], delta[0][None], cd)[0]
+        stacked = jnp.stack([out0, delta[1]])      # un-permuted result
         if ntt_domain:
-            c0 = _apply_permutation(data[0], perm)
-        else:
-            c0 = _apply_permutation_signed(data[0], src, keep, cd)
-        out0 = _add(c0[None], delta[0][None], cd)[0]
-        return jnp.stack([out0, delta[1]])
+            return _apply_permutation(stacked, perm)
+        return _apply_permutation_signed(stacked, src, keep, cd)
 
     return jax.vmap(one)(perms, srcs, keeps, keys_pp)
 
@@ -1208,7 +1216,9 @@ class Evaluator:
                 results[i] = r
         for i, s in enumerate(steps):
             if results[i] is None:
-                results[i] = ct if s == 0 else \
+                # step 0: a fresh object, not the caller's input, so every
+                # output is independently mutable (ADVICE r4)
+                results[i] = ct.replace() if s == 0 else \
                     self._rotate_internal(ct, s, galois_keys)
         return results
 
@@ -1292,6 +1302,10 @@ class Evaluator:
         if ct.is_ntt_form:
             return self.extract_lwe_many(self.transform_from_ntt(ct), terms)
         cd = self._cd(ct)
+        bad = [t for t in terms if not 0 <= t < cd.n]
+        if bad:
+            raise ValueError(f"extract_lwe_many terms out of [0, {cd.n}): "
+                             f"{bad[:4]}")
         t_arr = jnp.asarray(np.array(terms, dtype=np.int32))
         c1s, c0s = _extract_lwe_many_core(ct.data, t_arr, cd)
         return [LWECiphertext(c1=c1s[i], c0=c0s[i], level=ct.level,

@@ -37,18 +37,23 @@ import os as _os
 MXU_MIN_N = int(_os.environ.get("TROY_TPU_MXU_MIN_N", "2048"))
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=256)
 def _limb_root_tables_dev(n: int, q: int):
     """Device copies of one modulus's root-power tables, cached per (n, q):
     chain levels share primes, so each prime's tables upload exactly once
-    (the reference re-uploads per ContextDataCuda — context_cuda.cu)."""
+    (the reference re-uploads per ContextDataCuda — context_cuda.cu).
+    Used by the single-modulus NttTables (plain-NTT, mod-t batching);
+    the RNS bases use _stacked_tables_dev. Both caches are LRU-BOUNDED
+    (ADVICE r4): each entry pins device memory, so long-lived processes
+    cycling many parameter sets evict cold tables instead of growing
+    without bound (a live context re-uploads on the next use)."""
     h = make_ntt_tables(n, q)
     return (jnp.asarray(h.root_powers), jnp.asarray(h.root_powers_shoup),
             jnp.asarray(h.inv_root_powers),
             jnp.asarray(h.inv_root_powers_shoup))
 
 
-@lru_cache(maxsize=None)
+@lru_cache(maxsize=64)
 def _stacked_tables_dev(n: int, moduli: Tuple[int, ...]):
     """Device copies of a whole RNS base's stacked tables, cached per
     (n, base). Stacking happens on the HOST (numpy) and each stacked array

@@ -20,6 +20,7 @@ import numpy as np
 
 import troy_tpu as _t
 from troy_tpu import serialization as _ser
+from troy_tpu import refwire as _rw
 from troy_tpu.app import linear as _lin
 from troy_tpu import prng as _rnd
 
@@ -258,11 +259,21 @@ class Plaintext(_Wrapper):
         self._inner = self._inner.replace(
             level=_PARMS_TO_LEVEL[bytes(parms_id)])
 
-    def save(self) -> bytes:
+    def save(self, context: Optional[SEALContext] = None,
+             wire: str = "native") -> bytes:
+        """wire="troy" emits the reference's PlaintextCuda::save bytes
+        (needs the context for its ParmsID layout — refwire.py)."""
+        if wire == "troy":
+            return _rw.save_plaintext_ref(self._inner, context._inner)
         return _ser.save_plaintext(self._inner)
 
-    def load(self, raw: bytes):
-        self._inner = _ser.load_plaintext(raw)
+    def load(self, raw: bytes, context: Optional[SEALContext] = None):
+        """Auto-detects the stream flavor: native TPT1 or the reference's
+        raw-struct layout (which needs the context)."""
+        if raw[:4] == b"TPT1":
+            self._inner = _ser.load_plaintext(raw)
+        else:
+            self._inner = _rw.load_plaintext_ref(raw, context._inner)
 
 
 class Ciphertext(_Wrapper):
@@ -318,14 +329,25 @@ class Ciphertext(_Wrapper):
     def reserve(self, size: int):
         """No-op: XLA owns buffer capacity (binder.cu:266)."""
 
-    def save(self) -> bytes:
+    def save(self, context: Optional[SEALContext] = None,
+             wire: str = "native") -> bytes:
+        """wire="troy" emits the reference's CiphertextCuda::save bytes
+        (seed-compressed cts are expanded first — refwire.py), so the
+        stream is loadable by a reference/pytroy peer."""
+        if wire == "troy":
+            return _rw.save_ciphertext_ref(self._inner, context._inner)
         return _ser.save_ciphertext(self._inner)
 
     def load(self, raw: bytes, context: Optional[SEALContext] = None):
-        # context is only required for seed-compressed streams
-        # (binder.cu load has both 1- and 2-arg forms)
-        self._inner = _ser.load_ciphertext(
-            raw, context._inner if context is not None else None)
+        # Auto-detects native TCT1 vs the reference's raw-struct layout.
+        # For native streams context is only required when seed-compressed
+        # (binder.cu load has both 1- and 2-arg forms); reference streams
+        # always need it (ParmsID -> level mapping).
+        if raw[:4] == b"TCT1":
+            self._inner = _ser.load_ciphertext(
+                raw, context._inner if context is not None else None)
+        else:
+            self._inner = _rw.load_ciphertext_ref(raw, context._inner)
 
     def save_terms(self, evaluator: "Evaluator", terms) -> bytes:
         return _ser.save_terms(self._inner, evaluator._ctx,
@@ -345,22 +367,34 @@ class SecretKey(_Wrapper):
     def __init__(self, inner: Optional[_t.SecretKey] = None):
         self._inner = inner
 
-    def save(self) -> bytes:
+    def save(self, context: Optional[SEALContext] = None,
+             wire: str = "native") -> bytes:
+        if wire == "troy":
+            return _rw.save_secret_key_ref(self._inner, context._inner)
         return _ser.save_secret_key(self._inner)
 
-    def load(self, raw: bytes):
-        self._inner = _ser.load_secret_key(raw)
+    def load(self, raw: bytes, context: Optional[SEALContext] = None):
+        if raw[:4] == b"TKY1":
+            self._inner = _ser.load_secret_key(raw)
+        else:
+            self._inner = _rw.load_secret_key_ref(raw, context._inner)
 
 
 class PublicKey(_Wrapper):
     def __init__(self, inner: Optional[_t.PublicKey] = None):
         self._inner = inner
 
-    def save(self) -> bytes:
+    def save(self, context: Optional[SEALContext] = None,
+             wire: str = "native") -> bytes:
+        if wire == "troy":
+            return _rw.save_public_key_ref(self._inner, context._inner)
         return _ser.save_public_key(self._inner)
 
-    def load(self, raw: bytes):
-        self._inner = _ser.load_public_key(raw)
+    def load(self, raw: bytes, context: Optional[SEALContext] = None):
+        if raw[:4] == b"TKY1":
+            self._inner = _ser.load_public_key(raw)
+        else:
+            self._inner = _rw.load_public_key_ref(raw, context._inner)
 
 
 class KSwitchKeys(_Wrapper):
@@ -378,22 +412,34 @@ class RelinKeys(_Wrapper):
     def __init__(self, inner: Optional[_t.RelinKeys] = None):
         self._inner = inner
 
-    def save(self) -> bytes:
+    def save(self, context: Optional[SEALContext] = None,
+             wire: str = "native") -> bytes:
+        if wire == "troy":
+            return _rw.save_relin_keys_ref(self._inner, context._inner)
         return _ser.save_relin_keys(self._inner)
 
-    def load(self, raw: bytes):
-        self._inner = _ser.load_relin_keys(raw)
+    def load(self, raw: bytes, context: Optional[SEALContext] = None):
+        if raw[:4] == b"TKY1":
+            self._inner = _ser.load_relin_keys(raw)
+        else:
+            self._inner = _rw.load_relin_keys_ref(raw, context._inner)
 
 
 class GaloisKeys(_Wrapper):
     def __init__(self, inner: Optional[_t.GaloisKeys] = None):
         self._inner = inner
 
-    def save(self) -> bytes:
+    def save(self, context: Optional[SEALContext] = None,
+             wire: str = "native") -> bytes:
+        if wire == "troy":
+            return _rw.save_galois_keys_ref(self._inner, context._inner)
         return _ser.save_galois_keys(self._inner)
 
-    def load(self, raw: bytes):
-        self._inner = _ser.load_galois_keys(raw)
+    def load(self, raw: bytes, context: Optional[SEALContext] = None):
+        if raw[:4] == b"TKY1":
+            self._inner = _ser.load_galois_keys(raw)
+        else:
+            self._inner = _rw.load_galois_keys_ref(raw, context._inner)
 
 
 class KeyGenerator:

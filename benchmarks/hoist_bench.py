@@ -21,8 +21,14 @@
    slot values.
 
 Usage: python benchmarks/hoist_bench.py [reps_per_window]
+
+Artifact: set TROY_HOIST_OUT=<path.json> to record every row (count
+ratios, raw and floor-clamped ms, speedups, correctness verdict) under a
+per-backend session key — merged into the existing file so one JSON
+carries the CPU and TPU sessions side by side (VERDICT r4 #3).
 """
 
+import json
 import os
 import sys
 import time
@@ -52,6 +58,10 @@ def main():
 
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     print(f"devices: {jax.devices()}", flush=True)
+    backend = jax.devices()[0].platform
+    record = {"backend": backend, "device": str(jax.devices()[0]),
+              "n": N, "q_bits": Q_BITS, "reps": reps,
+              "rotation_rows": [], "pack_rows": []}
 
     parms = T.EncryptionParameters(
         scheme=T.SchemeType.bfv, poly_modulus_degree=N,
@@ -102,7 +112,10 @@ def main():
             steps = steps_all[:m]
             elts = [galois_util.get_elt_from_step(N, s) for s in steps]
             import jax.numpy as jnp
-            keys = jnp.stack([gk.keys[e] for e in elts])
+            # real pre-permuted keys (ADVICE r4: the lowered program is
+            # count-only here, but build it with the operands the
+            # Evaluator actually dispatches so it is also executable)
+            keys = jnp.stack([ev._prepermuted_key(gk, e, N) for e in elts])
             perms = jnp.stack([galois_util.ntt_permutation_dev(N, e)
                                for e in elts])
             pairs = [galois_util.coeff_permutation_dev(N, e) for e in elts]
@@ -117,6 +130,7 @@ def main():
                   f"{m*f_single/f_h:.2f}x (floors {floor_h:.4f} / "
                   f"{floor_s:.4f} ms)", flush=True)
             cases[m] = dict(steps=steps, floor_h=floor_h, floor_s=floor_s,
+                            f_h=f_h,
                             best_h=float("inf"), best_s=float("inf"))
 
         # warm both paths for every m
@@ -146,6 +160,14 @@ def main():
             print(f"m={m:3d}: hoisted {rep_h:8.4f} ms vs sequential "
                   f"{rep_s:8.4f} ms -> {rep_s/rep_h:5.2f}x "
                   f"(raw {c['best_h']:.4f} / {c['best_s']:.4f})", flush=True)
+            record["rotation_rows"].append(dict(
+                m=m, count_ratio=round(m * f_single / c["f_h"], 3),
+                hoisted_gflops=round(c["f_h"] / 1e9, 2),
+                sequential_gflops=round(m * f_single / 1e9, 2),
+                hoisted_ms=round(rep_h, 4), sequential_ms=round(rep_s, 4),
+                raw_hoisted_ms=round(c["best_h"], 4),
+                raw_sequential_ms=round(c["best_s"], 4),
+                speedup=round(rep_s / rep_h, 3)))
 
 
     # ---------------- 2. batched LWE pack ----------------
@@ -227,6 +249,10 @@ def main():
         print(f"m={m:3d}: batched tree {c['best_b']:8.3f} ms vs per-pair "
               f"{c['best_n']:8.3f} ms -> {c['best_n']/c['best_b']:5.2f}x",
               flush=True)
+        record["pack_rows"].append(dict(
+            m=m, batched_ms=round(c["best_b"], 3),
+            naive_ms=round(c["best_n"], 3),
+            speedup=round(c["best_n"] / c["best_b"], 3)))
 
     # ---------------- correctness gates (readbacks last) ----------------
     dec = T.Decryptor(ctx, kg.secret_key)
@@ -259,6 +285,20 @@ def main():
             print(f"pack m={m}: FAIL (batched eq {np.array_equal(got_b, expect)}, "
                   f"naive eq {np.array_equal(got_n, expect)})", flush=True)
     print(f"correctness {'OK' if ok_all else 'FAIL'}", flush=True)
+    record["correctness"] = "OK" if ok_all else "FAIL"
+
+    out_path = os.environ.get("TROY_HOIST_OUT")
+    if out_path:
+        # merge under a per-backend/per-n session key so one artifact
+        # carries the CPU and TPU sessions side by side
+        doc = {}
+        if os.path.exists(out_path):
+            with open(out_path) as f:
+                doc = json.load(f)
+        doc[f"{backend}_n{N}"] = record
+        with open(out_path, "w") as f:
+            json.dump(doc, f, indent=1)
+        print(f"wrote {out_path}", flush=True)
 
 
 if __name__ == "__main__":

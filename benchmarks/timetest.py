@@ -157,6 +157,21 @@ def main():
 
     add_op("Add", em._add_ct_core, (d1, d2, cd),
            lambda: ev.add(ct1, ct2).data)
+    # Encrypt's DEVICE CORE as a floor-guarded row (VERDICT r4 #5): the
+    # same fused executable the Encryptor dispatches (threefry sampling +
+    # zero-enc NTTs + plain embed), called with pre-staged operands so
+    # the row isolates the device program from the per-call host work
+    # (PRNG scalar draws + a 16-byte seed upload). The unfloored
+    # "Encrypt (symmetric)" host row below times the full object API;
+    # the difference between the two rows IS the host-boundary cost.
+    from troy_tpu import encryptor as enc_mod
+    enc_seeds = jnp.asarray(np.array([0x51D | 1, 0xE0E], dtype=np.uint64))
+    sk_data = kg.secret_key.data
+    add_op("Encrypt (sym, device core)", enc_mod._encrypt_sym_full,
+           (enc_seeds, pt.data, sk_data, cd),
+           lambda: enc_mod._encrypt_sym_full(enc_seeds, pt.data, sk_data,
+                                             cd, is_ntt_form=ntt_form),
+           dict(is_ntt_form=ntt_form))
     if is_bfv:
         add_op("AddPlain", em._bfv_add_plain_jit, (d1, pt2.data, cd),
                lambda: ev.add_plain(ct1, pt2).data,
@@ -334,6 +349,8 @@ def main():
     cf2 = {} if not scheme == T.SchemeType.bgv else \
         dict(correction_factor=ct1.correction_factor ** 2 % tmod)
     gate("Add", ops["Add"]["out"], mod(vo + vo2))
+    gate("Encrypt (sym, device core)",
+         ops["Encrypt (sym, device core)"]["out"], mod(vo))
     gate("AddPlain", ops["AddPlain"]["out"], mod(vo + vo2))
     gate("MultiplyPlain", ops["MultiplyPlain"]["out"], mod(vo * vo2),
          **sc2)

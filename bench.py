@@ -83,6 +83,12 @@ N = 16384
 Q_BITS = [60, 40, 40, 40, 40, 60]
 T_BITS = 20
 REPS = 200
+# BEHZ auxiliary-base prime width: unset/61 = reference parity; 34-60 is
+# the documented narrow-internal-base perf mode (HeContext
+# internal_prime_bits; README "Narrow internal base"). The headline bench
+# runs the narrow mode — same user-visible math (the correctness gate
+# decrypts the REAL product), smaller program.
+INTERNAL_BITS = int(os.environ.get("TROY_INTERNAL_PRIME_BITS", "40"))
 
 V5E_PEAK_OPS = 394.7e12   # int8 ops/s (each MAC = 2 ops); max rate of any unit
 HAND_MXU_FLOPS = 63.9e9   # hand-derived MXU mul+add count (module docstring)
@@ -97,16 +103,21 @@ def derive_floor_ms(jitted, args):
     Returns (floor_ms, flops, source). Falls back to the hand-derived MXU
     count if cost_analysis is unavailable on this backend."""
     hand_floor_ms = HAND_MXU_FLOPS / V5E_PEAK_OPS * 1e3
-    try:
-        compiled = jitted.lower(*args).compile()
-        ca = compiled.cost_analysis()
-        if isinstance(ca, (list, tuple)):
-            ca = ca[0] if ca else {}
-        flops = float(ca.get("flops", 0.0))
-    except Exception as e:  # pragma: no cover - backend-dependent
-        log(f"cost_analysis unavailable ({type(e).__name__}: {e}); "
-            "using hand-derived MXU floor only")
-        flops = 0.0
+    flops = 0.0
+    for attempt in range(3):      # remote-compile connections can drop
+        try:
+            compiled = jitted.lower(*args).compile()
+            ca = compiled.cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0] if ca else {}
+            flops = float(ca.get("flops", 0.0))
+            break
+        except Exception as e:  # pragma: no cover - backend-dependent
+            log(f"cost_analysis attempt {attempt + 1} failed "
+                f"({type(e).__name__}: {e})")
+            time.sleep(10)
+    else:
+        log("cost_analysis unavailable; using hand-derived MXU floor only")
     xla_floor_ms = flops / V5E_PEAK_OPS * 1e3
     log(f"roofline: XLA-counted ops {flops/1e9:.1f} G -> floor "
         f"{xla_floor_ms:.3f} ms; uniform-8-plane hand MXU count "
@@ -130,7 +141,10 @@ def main():
         scheme=T.SchemeType.bfv, poly_modulus_degree=N,
         coeff_modulus=tuple(T.CoeffModulus.create(N, Q_BITS)),
         plain_modulus=T.PlainModulus.batching(N, T_BITS))
-    ctx = T.HeContext(parms)
+    log(f"internal_prime_bits={INTERNAL_BITS}"
+        + (" (reference parity)" if INTERNAL_BITS == 61 else
+           " (narrow internal base)"))
+    ctx = T.HeContext(parms, internal_prime_bits=INTERNAL_BITS)
     kg = T.KeyGenerator(ctx, seed=rnd.seed_from_uint64(2024))
     t0 = time.time()
     rlk = kg.create_relin_keys()

@@ -512,7 +512,17 @@ def _hoisted_galois_core(data: jnp.ndarray, perms: jnp.ndarray,
 
     data (2, k, n); perms (m, n) NTT-domain tables; srcs/keeps (m, n)
     coefficient-domain tables (used when not ntt_domain);
-    keys_pp (m, decomp, 2, kf, n) pre-permuted. Returns (m, 2, k, n)."""
+    keys_pp (m, decomp, 2, kf, n) pre-permuted. Returns (m, 2, k, n).
+
+    This vmapped form is ONE executable for any m — the CPU-winning
+    schedule (~2x over the sequential loop, HOIST_r05.json cpu rows)
+    and the canonical count program. On the tunneled TPU, vmapping the
+    key-switch contract lowers poorly (measured: the vmapped body costs
+    ~2.5x the same arithmetic fused un-vmapped, even at m=1), so
+    apply_galois_many uses the per-element DISPATCH schedule there
+    (_hoisted_decompose_core + m reuses of _hoisted_contract_one_core)
+    — same arithmetic, same hoisting, one executable shared by every
+    element, no vmap."""
     t_hat = _switch_key_decompose(data[1], cd, key_cd, ntt_domain)
 
     def one(perm, src, keep, key_pp):
@@ -524,6 +534,34 @@ def _hoisted_galois_core(data: jnp.ndarray, perms: jnp.ndarray,
         return _apply_permutation_signed(stacked, src, keep, cd)
 
     return jax.vmap(one)(perms, srcs, keeps, keys_pp)
+
+
+@partial(jax.jit, static_argnames=("ntt_domain",))
+def _hoisted_decompose_core(data: jnp.ndarray, cd: ContextData,
+                            key_cd: ContextData,
+                            ntt_domain: bool) -> jnp.ndarray:
+    """Stage A of the dispatch-schedule hoist: the shared digit
+    decomposition (k x used limb NTTs), computed once per ciphertext."""
+    return _switch_key_decompose(data[1], cd, key_cd, ntt_domain)
+
+
+@partial(jax.jit, static_argnames=("ntt_domain",))
+def _hoisted_contract_one_core(t_hat: jnp.ndarray, c0: jnp.ndarray,
+                               perm: jnp.ndarray, src: jnp.ndarray,
+                               keep: jnp.ndarray, key_pp: jnp.ndarray,
+                               cd: ContextData, key_cd: ContextData,
+                               ntt_domain: bool) -> jnp.ndarray:
+    """Stage B: one automorphism's key switch against the shared t_hat —
+    inner product + divide + c0 fold + the final output permutation
+    (same schedule/validity as _hoisted_galois_core's body). ONE compiled
+    executable serves every element: perm/src/keep/key_pp are traced
+    arguments of identical shape across elements."""
+    delta = _switch_key_contract(t_hat, key_pp, cd, key_cd)
+    out0 = _add(c0[None], delta[0][None], cd)[0]
+    stacked = jnp.stack([out0, delta[1]])
+    if ntt_domain:
+        return _apply_permutation(stacked, perm)
+    return _apply_permutation_signed(stacked, src, keep, cd)
 
 
 # Compile-cost guard for the pack tree: XLA's compile time for a vmapped
@@ -1157,20 +1195,21 @@ class Evaluator:
     def apply_galois_many(self, ct: Ciphertext, elts: Sequence[int],
                           galois_keys: GaloisKeys) -> List[Ciphertext]:
         """Hoisted multi-automorphism: the digit decomposition + NTT of c1
-        is computed once and shared by every element's key switch (see
-        _hoisted_galois_core) — an extension beyond the reference, which
-        re-decomposes per rotation (evaluator_cuda.cu:2024).
+        is computed once and shared by every element's key switch — an
+        extension beyond the reference, which re-decomposes per rotation
+        (evaluator_cuda.cu:2024). The keys arrive pre-permuted by the
+        inverse automorphism (cached per (key, elt)); the whole key
+        switch runs un-permuted and one output permutation lands the
+        automorphism (validity in _hoisted_galois_core).
 
-        Round-4 schedule: the switching keys are pre-permuted by the
-        inverse automorphism (cached on the Evaluator per (key, elt)),
-        so the per-element hot path gathers only the (2, used, n) inner
-        products instead of the whole (k, used, n) digit tensor.
-        Measured (benchmarks/hoist_bench.py): 2.9x faster than a
-        sequential rotation loop on the CPU backend at n=16384/m=8
-        (close to the 2.5x op-count ratio); on the harness-tunneled
-        v5e the sequential loop still measures faster (per-element
-        lane gathers don't pipeline there) — prefer rotate_rows in a
-        loop on that backend when wall-clock matters."""
+        Two measured schedules, selected per backend
+        (TROY_HOIST_SCHEDULE=vmap|dispatch overrides):
+        * vmap — all m elements in ONE executable; the CPU winner
+          (~2x over the sequential loop at m=8-16, HOIST_r05.json).
+        * dispatch — decompose once, then ONE shared contract
+          executable dispatched per element; used on the TPU, where
+          XLA lowers the vmapped key-switch body ~2.5x slower than the
+          identical un-vmapped arithmetic (measured round 5 at m=1)."""
         if ct.size != 2:
             raise ValueError("apply_galois_many expects size-2 ciphertexts "
                              "(relinearize first)")
@@ -1182,19 +1221,31 @@ class Evaluator:
         cd = self._cd(ct)
         n = cd.n
         key_cd = self.context.key_context_data
-        keys_pp = jnp.stack([self._prepermuted_key(galois_keys, elt, n)
-                             for elt in elts])
-        perms = jnp.stack([galois_util.ntt_permutation_dev(n, elt)
-                           for elt in elts])
+        import os as _os
+        schedule = _os.environ.get("TROY_HOIST_SCHEDULE") or (
+            "vmap" if jax.default_backend() == "cpu" else "dispatch")
+        keys_pp = [self._prepermuted_key(galois_keys, elt, n)
+                   for elt in elts]
+        perms = [galois_util.ntt_permutation_dev(n, elt) for elt in elts]
         if ct.is_ntt_form:
             srcs = keeps = perms   # unused in the NTT-domain branch
         else:
             pairs = [galois_util.coeff_permutation_dev(n, elt)
                      for elt in elts]
-            srcs = jnp.stack([p[0] for p in pairs])
-            keeps = jnp.stack([p[1] for p in pairs])
-        out = _hoisted_galois_core(ct.data, perms, srcs, keeps, keys_pp,
-                                   cd, key_cd, ct.is_ntt_form)
+            srcs = [p[0] for p in pairs]
+            keeps = [p[1] for p in pairs]
+        if schedule == "dispatch":
+            t_hat = _hoisted_decompose_core(ct.data, cd, key_cd,
+                                            ct.is_ntt_form)
+            outs = [_hoisted_contract_one_core(
+                        t_hat, ct.data[0], perms[i], srcs[i], keeps[i],
+                        keys_pp[i], cd, key_cd, ct.is_ntt_form)
+                    for i in range(len(elts))]
+            return [ct.replace(data=o, seed=0) for o in outs]
+        out = _hoisted_galois_core(ct.data, jnp.stack(perms),
+                                   jnp.stack(srcs), jnp.stack(keeps),
+                                   jnp.stack(keys_pp), cd, key_cd,
+                                   ct.is_ntt_form)
         return [ct.replace(data=out[i], seed=0) for i in range(len(elts))]
 
     def rotate_many(self, ct: Ciphertext, steps: Sequence[int],

@@ -208,6 +208,20 @@ def main():
            (d1, d2, cd, key, key_cd),
            lambda: fused_step(d1, d2, cd, key, key_cd, nf=ntt_form),
            dict(nf=ntt_form))
+    if is_bfv:
+        # the narrow-internal-base perf mode (README "Narrow internal
+        # base"): same q/t/keys/ciphertexts — only the BEHZ auxiliary
+        # base narrows, so the fused program shrinks (fewer MXU byte
+        # planes in the Bsk NTTs). The 48-bit context reuses the same
+        # key arrays (keys never touch Bsk).
+        ctx48 = T.HeContext(parms, sec_level=sec, internal_prime_bits=48)
+        cd48 = ctx48.first_context_data
+        key_cd48 = ctx48.key_context_data
+        add_op("Multiply+Relinearize (fused, 48-bit base)", fused_step,
+               (d1, d2, cd48, key, key_cd48),
+               lambda: fused_step(d1, d2, cd48, key, key_cd48,
+                                  nf=ntt_form),
+               dict(nf=ntt_form))
     add_op("Multiply+Relinearize (2 disp)", None, None,
            lambda: ev.relinearize(ev.multiply(ct1, ct2), rlk).data)
     if is_ckks:
@@ -384,6 +398,10 @@ def main():
     gate("Multiply+Relinearize (2 disp)",
          ops["Multiply+Relinearize (2 disp)"]["out"], mod(vo * vo2),
          **sc2, **cf2)
+    if "Multiply+Relinearize (fused, 48-bit base)" in ops:
+        gate("Multiply+Relinearize (fused, 48-bit base)",
+             ops["Multiply+Relinearize (fused, 48-bit base)"]["out"],
+             mod(vo * vo2), **sc2, **cf2)
     if is_ckks:
         c = ct1.replace(data=ops["Rescale"]["out"], level=ct1.level + 1,
                         scale=relin2.scale / cd.coeff_values[-1], seed=0)

@@ -101,6 +101,12 @@ SESSIONS = int(os.environ.get("TROY_BENCH_SESSIONS", "3"))
 
 V5E_PEAK_OPS = 394.7e12   # int8 ops/s (each MAC = 2 ops); max rate of any unit
 HAND_MXU_FLOPS = 63.9e9   # hand-derived MXU mul+add count (module docstring)
+# Fallback floors when the remote cost_analysis is unreachable: the
+# compiler's own counted ops for this exact program, recorded from the
+# round-5 sessions (61: 51.05 G, 48: 41.1 G, 40: 39.0 G — OPTABLE/bench
+# logs). A stale hand-derived 63.9 G upper model would CLAMP UP real
+# measurements (it is not a lower bound on time); these are.
+KNOWN_FLOPS = {61: 51.05e9, 48: 41.1e9, 40: 39.0e9}
 
 
 def log(msg):
@@ -124,9 +130,14 @@ def derive_floor_ms(jitted, args):
         except Exception as e:  # pragma: no cover - backend-dependent
             log(f"cost_analysis attempt {attempt + 1} failed "
                 f"({type(e).__name__}: {e})")
-            time.sleep(10)
-    else:
-        log("cost_analysis unavailable; using hand-derived MXU floor only")
+            if attempt < 2:
+                time.sleep(10)
+    if flops == 0.0 and INTERNAL_BITS in KNOWN_FLOPS:
+        flops = KNOWN_FLOPS[INTERNAL_BITS]
+        log(f"cost_analysis unavailable; using the recorded compiler "
+            f"count for this mode ({flops/1e9:.1f} G)")
+        floor_ms = flops / V5E_PEAK_OPS * 1e3
+        return floor_ms, flops, "recorded-compiler-count"
     xla_floor_ms = flops / V5E_PEAK_OPS * 1e3
     log(f"roofline: XLA-counted ops {flops/1e9:.1f} G -> floor "
         f"{xla_floor_ms:.3f} ms; uniform-8-plane hand MXU count "

@@ -77,7 +77,6 @@ def run(n=16384, q_bits=(60, 40, 40, 40, 40, 60), scale=2.0 ** 40,
              a, ct.level, scale)
         model = a
         for d in range(1, depth + 1):
-            cd = ctx.get_context_data(ct.level)
             ct_b = enc.encrypt_symmetric(ce.encode(b, scale=ct.scale,
                                                    level=ct.level))
             ct = ev.relinearize(ev.multiply(ct, ct_b), rlk)

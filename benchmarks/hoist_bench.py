@@ -59,8 +59,15 @@ def main():
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 20
     print(f"devices: {jax.devices()}", flush=True)
     backend = jax.devices()[0].platform
+    # which hoist schedule rotate_many will dispatch (evaluator.py
+    # apply_galois_many): recorded per session so artifact rows are
+    # attributable to a code path
+    schedule = os.environ.get("TROY_HOIST_SCHEDULE") or (
+        "vmap" if backend == "cpu" else "dispatch")
+    print(f"rotation schedule: {schedule}", flush=True)
     record = {"backend": backend, "device": str(jax.devices()[0]),
               "n": N, "q_bits": Q_BITS, "reps": reps,
+              "rotation_schedule": schedule,
               "rotation_rows": [], "pack_rows": []}
 
     parms = T.EncryptionParameters(
@@ -295,7 +302,7 @@ def main():
         if os.path.exists(out_path):
             with open(out_path) as f:
                 doc = json.load(f)
-        doc[f"{backend}_n{N}"] = record
+        doc[f"{backend}_n{N}_{schedule}"] = record
         with open(out_path, "w") as f:
             json.dump(doc, f, indent=1)
         print(f"wrote {out_path}", flush=True)

@@ -273,6 +273,9 @@ class Plaintext(_Wrapper):
         if raw[:4] == b"TPT1":
             self._inner = _ser.load_plaintext(raw)
         else:
+            if context is None:
+                raise ValueError("not a native TPT1 stream; loading "
+                                 "reference-format bytes needs a context")
             self._inner = _rw.load_plaintext_ref(raw, context._inner)
 
 
@@ -347,6 +350,9 @@ class Ciphertext(_Wrapper):
             self._inner = _ser.load_ciphertext(
                 raw, context._inner if context is not None else None)
         else:
+            if context is None:
+                raise ValueError("not a native TCT1 stream; loading "
+                                 "reference-format bytes needs a context")
             self._inner = _rw.load_ciphertext_ref(raw, context._inner)
 
     def save_terms(self, evaluator: "Evaluator", terms) -> bytes:
@@ -377,6 +383,9 @@ class SecretKey(_Wrapper):
         if raw[:4] == b"TKY1":
             self._inner = _ser.load_secret_key(raw)
         else:
+            if context is None:
+                raise ValueError("not a native TKY1 stream; loading "
+                                 "reference-format bytes needs a context")
             self._inner = _rw.load_secret_key_ref(raw, context._inner)
 
 
@@ -394,6 +403,9 @@ class PublicKey(_Wrapper):
         if raw[:4] == b"TKY1":
             self._inner = _ser.load_public_key(raw)
         else:
+            if context is None:
+                raise ValueError("not a native TKY1 stream; loading "
+                                 "reference-format bytes needs a context")
             self._inner = _rw.load_public_key_ref(raw, context._inner)
 
 
@@ -422,6 +434,9 @@ class RelinKeys(_Wrapper):
         if raw[:4] == b"TKY1":
             self._inner = _ser.load_relin_keys(raw)
         else:
+            if context is None:
+                raise ValueError("not a native TKY1 stream; loading "
+                                 "reference-format bytes needs a context")
             self._inner = _rw.load_relin_keys_ref(raw, context._inner)
 
 
@@ -439,6 +454,9 @@ class GaloisKeys(_Wrapper):
         if raw[:4] == b"TKY1":
             self._inner = _ser.load_galois_keys(raw)
         else:
+            if context is None:
+                raise ValueError("not a native TKY1 stream; loading "
+                                 "reference-format bytes needs a context")
             self._inner = _rw.load_galois_keys_ref(raw, context._inner)
 
 

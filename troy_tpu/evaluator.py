@@ -289,13 +289,10 @@ def _switch_key_inner_product(t_hat: jnp.ndarray, key: jnp.ndarray,
 
 def _switch_key_contract(t_hat: jnp.ndarray, key: jnp.ndarray,
                          cd: ContextData,
-                         key_cd: ContextData,
-                         prods: Optional[List[jnp.ndarray]] = None
-                         ) -> jnp.ndarray:
+                         key_cd: ContextData) -> jnp.ndarray:
     """Stage 2 of the key switch: the dense 128-bit inner product against
     the switching key plus the divide-by-special-prime rounding. Takes the
-    decomposed digits t_hat (k, used, n) from _switch_key_decompose (or
-    precomputed inner products via `prods`)."""
+    decomposed digits t_hat (k, used, n) from _switch_key_decompose."""
     k = cd.limbs
     key_values = key_cd.coeff_values
     kf = len(key_values)
@@ -304,8 +301,7 @@ def _switch_key_contract(t_hat: jnp.ndarray, key: jnp.ndarray,
     scheme = cd.scheme
     is_ntt_scheme = scheme in (SchemeType.ckks, SchemeType.bgv)
 
-    if prods is None:
-        prods = _switch_key_inner_product(t_hat, key, cd, key_cd)
+    prods = _switch_key_inner_product(t_hat, key, cd, key_cd)
 
     # ---- divide by the special prime, per component ----
     # The per-limb corrections run as STACKED (k, n) kernels with the

@@ -220,6 +220,17 @@ def load_plaintext_ref(raw: bytes, context: HeContext) -> Plaintext:
     data_size, = _struct.unpack_from("<Q", raw, 48)
     flat = np.frombuffer(raw, dtype="<u8", count=data_size, offset=56)
     if pid == REF_PARMS_ID_ZERO:
+        # coefficient-form mod-t data; the reference permits
+        # coeff_count < n (trimmed constants) but every op here expects
+        # length-n polynomials (encoder.py zero-pads likewise), so pad.
+        # Re-saving a padded plaintext writes coeff_count = n — the same
+        # polynomial, normalized encoding.
+        n = context.n
+        if flat.size > n:
+            raise ValueError("plaintext longer than n")
+        if flat.size < n:
+            flat = np.concatenate(
+                [flat, np.zeros(n - flat.size, dtype=np.uint64)])
         return Plaintext(data=jnp.asarray(flat.copy()), level=None,
                          is_ntt_form=False, scale=scale)
     level = _level_map(context).get(pid)

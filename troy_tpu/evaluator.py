@@ -1230,6 +1230,10 @@ class Evaluator:
                      for elt in elts]
             srcs = [p[0] for p in pairs]
             keeps = [p[1] for p in pairs]
+        if schedule == "dispatch" and len(elts) == 1:
+            # nothing to hoist across: the fused single-automorphism
+            # program is one dispatch instead of decompose+contract
+            return [self.apply_galois(ct, elts[0], galois_keys)]
         if schedule == "dispatch":
             t_hat = _hoisted_decompose_core(ct.data, cd, key_cd,
                                             ct.is_ntt_form)

@@ -95,6 +95,7 @@ def child():
     ok = bool(np.array_equal(got, (x @ w) % t_mod))
     total = time.perf_counter() - T0
     print(json.dumps(dict(ok=ok, total_s=round(total, 2),
+                          device=str(jax.devices()[0]),
                           phases=[(nm, round(dt, 2)) for nm, dt in phases])))
 
 

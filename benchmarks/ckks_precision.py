@@ -115,9 +115,26 @@ def main():
         print(f"  {r['stage']:28s} {r['level']:5d} "
               f"2^{np.log2(r['scale']):.1f}  {r['max_err']:10.3e} "
               f"{r['precision_bits']:9.1f}")
+    # Merge per-backend sessions into the artifact (the arithmetic is
+    # exact integer math so backends should agree; recording both PROVES
+    # it rather than asserting it).
+    platform = jax.devices()[0].platform
     out = os.path.join(REPO, "CKKS_PRECISION_r05.json")
+    merged = {"sessions": {}}
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                prev = json.load(f)
+            if "sessions" in prev:
+                merged["sessions"].update(prev["sessions"])
+            elif "rows" in prev:     # legacy flat layout = the CPU session
+                merged["sessions"]["cpu"] = dict(meta=prev["meta"],
+                                                 rows=prev["rows"])
+        except (ValueError, OSError):
+            pass
+    merged["sessions"][platform] = dict(meta=meta, rows=rows)
     with open(out, "w") as f:
-        json.dump(dict(meta=meta, rows=rows), f, indent=1)
+        json.dump(merged, f, indent=1)
     print(f"wrote {out}")
 
 

@@ -124,11 +124,31 @@ def main():
             sessions[name] = rec
             print(f"{name}: total {rec['total_s']} s "
                   f"(ok={rec['ok']})", flush=True)
+    # Key each session by backend and MERGE into the artifact so the CPU
+    # and TPU sessions sit side by side (same discipline as HOIST_r05).
+    platform = "unknown"
+    for rec in sessions.values():
+        dev = rec.get("device", "")
+        platform = "tpu" if "TPU" in dev else ("cpu" if dev else platform)
     out = os.path.join(REPO, "COLDSTART_r05.json")
+    merged = dict(config="matmul 64x128x256 packLwe, BFV n=16384 "
+                         "q={60,60,60} t=2^41", sessions={})
+    if os.path.exists(out):
+        try:
+            with open(out) as f:
+                prev = json.load(f)
+            for k, v in prev.get("sessions", {}).items():
+                # legacy un-suffixed keys were the CPU-backend sessions
+                kk = k if "_" in k else f"{k}_cpu"
+                merged["sessions"][kk] = v
+            if "note" in prev:
+                merged["note"] = prev["note"]
+        except (ValueError, OSError):
+            pass
+    for name, rec in sessions.items():
+        merged["sessions"][f"{name}_{platform}"] = rec
     with open(out, "w") as f:
-        json.dump(dict(config="matmul 64x128x256 packLwe, BFV n=16384 "
-                              "q={60,60,60} t=2^41",
-                       sessions=sessions), f, indent=1)
+        json.dump(merged, f, indent=1)
     print(f"wrote {out}")
 
 

@@ -243,6 +243,39 @@ def test_rotate_many_mixed_keys():
             err_msg=f"step={s}")
 
 
+def test_apply_galois_many_dispatch_schedule(monkeypatch):
+    """The dispatch schedule (the TPU default) must decrypt-match the
+    sequential path both BELOW the hoist crossover (m < DISPATCH_HOIST_MIN_M
+    runs the fused per-element program) and at/above it (decompose-once +
+    one contract dispatch per element)."""
+    monkeypatch.setenv("TROY_HOIST_SCHEDULE", "dispatch")
+    parms = T.EncryptionParameters(
+        scheme=T.SchemeType.bfv, poly_modulus_degree=64,
+        coeff_modulus=tuple(T.CoeffModulus.create(64, [40, 40, 40])),
+        plain_modulus=T.PlainModulus.batching(64, 16))
+    ctx = T.HeContext(parms, sec_level=T.SecurityLevel.none)
+    kg = T.KeyGenerator(ctx, seed=rnd.seed_from_uint64(83))
+    glk = kg.create_galois_keys()
+    enc = T.Encryptor(ctx, secret_key=kg.secret_key)
+    dec = T.Decryptor(ctx, kg.secret_key)
+    be = T.BatchEncoder(ctx)
+    ev = T.Evaluator(ctx)
+    n = ctx.n
+    a = np.arange(n, dtype=np.uint64)
+    ct = enc.encrypt_symmetric(be.encode(a))
+    all_elts = [T.utils.galois.get_elt_from_step(n, s)
+                for s in (1, 2, -1, -2)]
+    for m in (2, 4):      # below and at the crossover
+        elts = all_elts[:m]
+        assert (m >= ev.DISPATCH_HOIST_MIN_M) == (m == 4)
+        outs = ev.apply_galois_many(ct, elts, glk)
+        for elt, out in zip(elts, outs):
+            seq = ev.apply_galois(ct, elt, glk)
+            np.testing.assert_array_equal(
+                be.decode(dec.decrypt(out)), be.decode(dec.decrypt(seq)),
+                err_msg=f"m={m} elt={elt}")
+
+
 def test_prepermuted_key_cache_coexists_across_key_sets():
     """Two GaloisKeys objects sharing an element must each keep their own
     pre-permuted cache entry (keyed by key object identity, not elt), and

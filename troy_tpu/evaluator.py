@@ -1164,6 +1164,14 @@ class Evaluator:
     # transforms on memory-rich chips.
     PP_KEY_CACHE_MAX = 32
 
+    # Minimum batch size at which the dispatch-schedule hoist beats the
+    # sequential loop on dispatch-priced backends (the tunneled v5e:
+    # m=2 measures 0.88x, m=4 1.02x — HOIST_r05.json
+    # tpu_n16384_dispatch); below it apply_galois_many runs the fused
+    # per-element program so the public API never loses to the naive
+    # loop. The vmap (CPU) schedule wins from m=2 and is unaffected.
+    DISPATCH_HOIST_MIN_M = 4
+
     def _prepermuted_key(self, galois_keys: GaloisKeys, elt: int,
                          n: int) -> jnp.ndarray:
         """Switching key for `elt` permuted by the INVERSE automorphism
@@ -1230,10 +1238,14 @@ class Evaluator:
                      for elt in elts]
             srcs = [p[0] for p in pairs]
             keeps = [p[1] for p in pairs]
-        if schedule == "dispatch" and len(elts) == 1:
-            # nothing to hoist across: the fused single-automorphism
-            # program is one dispatch instead of decompose+contract
-            return [self.apply_galois(ct, elts[0], galois_keys)]
+        if schedule == "dispatch" and \
+                len(elts) < self.DISPATCH_HOIST_MIN_M:
+            # below the crossover the extra decompose dispatch outweighs
+            # the shared-NTT saving (measured on the v5e: m=1 0.89x,
+            # m=2 0.88x, m=4 1.02x, m=16 1.39x — HOIST_r05.json
+            # tpu_n16384_dispatch rows), so small batches run the fused
+            # single-automorphism program per element
+            return [self.apply_galois(ct, e, galois_keys) for e in elts]
         if schedule == "dispatch":
             t_hat = _hoisted_decompose_core(ct.data, cd, key_cd,
                                             ct.is_ntt_form)

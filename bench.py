@@ -134,21 +134,31 @@ def derive_floor_ms(jitted, args):
                 f"({type(e).__name__}: {e})")
             if attempt < 2:
                 time.sleep(10)
-    if flops == 0.0 and INTERNAL_BITS in KNOWN_FLOPS:
-        flops = KNOWN_FLOPS[INTERNAL_BITS]
-        log(f"cost_analysis unavailable; using the recorded compiler "
-            f"count for this mode ({flops/1e9:.1f} G)")
-        floor_ms = flops / V5E_PEAK_OPS * 1e3
-        return floor_ms, flops, "recorded-compiler-count"
+    if flops == 0.0:
+        # Recorded compiler counts are per-width; program size grows
+        # monotonically with the internal-base width, so the largest
+        # recorded count at a width <= the requested one is still a
+        # valid LOWER bound (clamping with a wider mode's count would
+        # clamp narrow-mode measurements UP — a false floor).
+        lower = [b for b in KNOWN_FLOPS if b <= INTERNAL_BITS]
+        if lower:
+            src_bits = max(lower)
+            flops = KNOWN_FLOPS[src_bits]
+            log(f"cost_analysis unavailable; using the recorded compiler "
+                f"count for the {src_bits}-bit mode ({flops/1e9:.1f} G) as "
+                f"the floor for internal_prime_bits={INTERNAL_BITS}")
+            floor_ms = flops / V5E_PEAK_OPS * 1e3
+            return floor_ms, flops, f"recorded-compiler-count-{src_bits}b"
+        log("cost_analysis unavailable and no recorded count at or below "
+            f"internal_prime_bits={INTERNAL_BITS}; reporting unclamped")
+        return 0.0, 0.0, "no-floor"
     xla_floor_ms = flops / V5E_PEAK_OPS * 1e3
     log(f"roofline: XLA-counted ops {flops/1e9:.1f} G -> floor "
         f"{xla_floor_ms:.3f} ms; uniform-8-plane hand MXU count "
         f"{HAND_MXU_FLOPS/1e9:.1f} G ops -> floor {hand_floor_ms:.3f} ms "
         "(upper reference only: per-modulus digit planes make the real "
         "program smaller)")
-    if flops > 0.0:
-        return xla_floor_ms, flops, "xla-cost-analysis"
-    return hand_floor_ms, 0.0, "hand-mxu"
+    return xla_floor_ms, flops, "xla-cost-analysis"
 
 
 def main():

@@ -119,7 +119,15 @@ def main():
                 print(p.stdout[-2000:])
                 sessions[name] = dict(ok=False, rc=p.returncode)
                 continue
-            rec = json.loads(p.stdout.strip().splitlines()[-1])
+            try:
+                rec = json.loads(p.stdout.strip().splitlines()[-1])
+            except (ValueError, IndexError):
+                # rc==0 but no parseable result line: record the failure
+                # instead of losing BOTH multi-hour sessions to a crash
+                print(f"{name} session produced no result line")
+                print(p.stdout[-2000:])
+                sessions[name] = dict(ok=False, rc=0, parse_error=True)
+                continue
             rec["wall_s"] = round(time.time() - t0, 2)
             sessions[name] = rec
             print(f"{name}: total {rec['total_s']} s "

@@ -80,6 +80,13 @@ def main():
     enc = T.Encryptor(ctx, secret_key=kg.secret_key)
     be = T.BatchEncoder(ctx)
     ev = T.Evaluator(ctx)
+    # Measure the RAW schedule at every m >= 2: the public API's small-m
+    # fallback (Evaluator.DISPATCH_HOIST_MIN_M, justified by THESE rows)
+    # would otherwise make m < 4 time the sequential loop against itself.
+    # m=1 keeps the fused single-automorphism program (the committed
+    # tpu_n16384_dispatch m=1 row's semantics).
+    ev.DISPATCH_HOIST_MIN_M = 2
+    record["hoist_gate_bypassed"] = True
     t_mod = int(parms.plain_modulus)
     steps_all = list(range(1, max(ROT_COUNTS) + 1))
     gk = kg.create_galois_keys(steps=steps_all)
@@ -300,8 +307,12 @@ def main():
         # carries the CPU and TPU sessions side by side
         doc = {}
         if os.path.exists(out_path):
-            with open(out_path) as f:
-                doc = json.load(f)
+            try:
+                with open(out_path) as f:
+                    doc = json.load(f)
+            except (ValueError, OSError):
+                print(f"WARNING: {out_path} unreadable, starting fresh",
+                      flush=True)
         doc[f"{backend}_n{N}_{schedule}"] = record
         with open(out_path, "w") as f:
             json.dump(doc, f, indent=1)

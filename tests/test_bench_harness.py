@@ -33,12 +33,23 @@ def test_floor_fallback_uses_recorded_compiler_count(monkeypatch):
     for bits, flops in bench.KNOWN_FLOPS.items():
         bench.INTERNAL_BITS = bits
         floor_ms, got_flops, src = bench.derive_floor_ms(_FailingJit(), ())
-        assert src == "recorded-compiler-count"
+        assert src == f"recorded-compiler-count-{bits}b"
         assert got_flops == flops
         # the recorded count must be a LOWER bound than the stale hand
         # model (63.9 G) — the hand model would clamp real measurements UP
         assert floor_ms < bench.HAND_MXU_FLOPS / bench.V5E_PEAK_OPS * 1e3
         assert abs(floor_ms - flops / bench.V5E_PEAK_OPS * 1e3) < 1e-9
+    # an unrecorded width uses the largest recorded count BELOW it (a
+    # valid lower bound: program size grows with base width) ...
+    bench.INTERNAL_BITS = 50
+    floor_ms, got_flops, src = bench.derive_floor_ms(_FailingJit(), ())
+    assert src == "recorded-compiler-count-48b"
+    assert got_flops == bench.KNOWN_FLOPS[48]
+    # ... and below every recorded width the value is reported unclamped
+    # rather than clamped UP by a wider mode's count
+    bench.INTERNAL_BITS = 34
+    floor_ms, got_flops, src = bench.derive_floor_ms(_FailingJit(), ())
+    assert src == "no-floor" and floor_ms == 0.0
 
 
 def test_floor_uses_cost_analysis_when_available():

@@ -81,6 +81,45 @@ def test_narrow_base_skips_colliding_primes():
     assert not (set(tool.base_Bsk.values) | {tool.gamma}) & qvals
 
 
+def test_narrow_base_skips_factors_of_composite_t():
+    """A COMPOSITE plain modulus can contain a prime of the same width as
+    the internal base; the draw must skip t's prime factors too, or
+    gamma/m_sk become non-invertible mod t and context construction
+    crashes (round-5 review). Verified end to end: the square of a
+    coefficient-encoded polynomial decrypts against the exact model."""
+    from troy_tpu.utils import numth
+    n = 64
+    p1 = numth.get_primes(2 * n, 40, 1)[0]
+    t = p1 * 3
+    parms = T.EncryptionParameters(
+        scheme=T.SchemeType.bfv, poly_modulus_degree=n,
+        coeff_modulus=tuple(T.CoeffModulus.create(n, [50, 50, 50])),
+        plain_modulus=T.Modulus(t))
+    ctx = T.HeContext(parms, sec_level=T.SecurityLevel.none,
+                      internal_prime_bits=40)
+    rt = ctx.first_context_data.rns_tool
+    assert rt.gamma % p1 and rt.m_sk % p1
+    assert all(b % p1 for b in rt.base_B.values)
+    kg = T.KeyGenerator(ctx, seed=SEED)
+    enc = T.Encryptor(ctx, secret_key=kg.secret_key, seed=SEED)
+    dec = T.Decryptor(ctx, kg.secret_key)
+    be = T.BatchEncoder(ctx)
+    ev = T.Evaluator(ctx)
+    a = np.arange(n, dtype=np.uint64)
+    sq = ev.relinearize(
+        ev.multiply(enc.encrypt_symmetric(be.encode_polynomial(a)),
+                    enc.encrypt_symmetric(be.encode_polynomial(a))),
+        kg.create_relin_keys())
+    conv = [0] * (2 * n)
+    for i in range(n):
+        for j in range(n):
+            conv[i + j] += int(a[i]) * int(a[j])
+    want = np.array([(conv[i] - conv[i + n]) % t for i in range(n)],
+                    dtype=np.uint64)
+    np.testing.assert_array_equal(
+        be.decode_polynomial(dec.decrypt(sq)), want)
+
+
 def test_invalid_width_rejected():
     with pytest.raises(ValueError):
         RnsTool(n=N, base_q=RnsBase((Modulus(T.CoeffModulus.create(

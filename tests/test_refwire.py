@@ -210,6 +210,11 @@ def test_compat_shim_speaks_troy_wire(recs):
     dec.decrypt(ct, out)
     np.testing.assert_array_equal(
         np.asarray(be.decode(out))[:N], VALUES)
+    # save(wire="troy") without a context must raise the same clear
+    # error the load paths do, not an AttributeError (round-5 review)
+    for obj in (ct, sk, gk, out):
+        with pytest.raises(ValueError, match="needs a context"):
+            obj.save(wire="troy")
 
 
 def test_seeded_ciphertext_expands_on_ref_save(bfv):

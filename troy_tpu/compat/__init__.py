@@ -24,6 +24,16 @@ from troy_tpu import refwire as _rw
 from troy_tpu.app import linear as _lin
 from troy_tpu import prng as _rnd
 
+
+def _ref_ctx(context, what: str):
+    """The reference byte layouts embed a context-derived ParmsID, so
+    every save(wire="troy") needs the context the load paths already
+    require — fail with the same clear error, not an AttributeError."""
+    if context is None:
+        raise ValueError(f'{what}.save(wire="troy") needs a context '
+                         "(the reference layout embeds its ParmsID)")
+    return context._inner
+
 # enums / scalar types are shared directly
 SchemeType = _t.SchemeType
 SecurityLevel = _t.SecurityLevel
@@ -264,7 +274,7 @@ class Plaintext(_Wrapper):
         """wire="troy" emits the reference's PlaintextCuda::save bytes
         (needs the context for its ParmsID layout — refwire.py)."""
         if wire == "troy":
-            return _rw.save_plaintext_ref(self._inner, context._inner)
+            return _rw.save_plaintext_ref(self._inner, _ref_ctx(context, "Plaintext"))
         return _ser.save_plaintext(self._inner)
 
     def load(self, raw: bytes, context: Optional[SEALContext] = None):
@@ -338,7 +348,7 @@ class Ciphertext(_Wrapper):
         (seed-compressed cts are expanded first — refwire.py), so the
         stream is loadable by a reference/pytroy peer."""
         if wire == "troy":
-            return _rw.save_ciphertext_ref(self._inner, context._inner)
+            return _rw.save_ciphertext_ref(self._inner, _ref_ctx(context, "Ciphertext"))
         return _ser.save_ciphertext(self._inner)
 
     def load(self, raw: bytes, context: Optional[SEALContext] = None):
@@ -376,7 +386,7 @@ class SecretKey(_Wrapper):
     def save(self, context: Optional[SEALContext] = None,
              wire: str = "native") -> bytes:
         if wire == "troy":
-            return _rw.save_secret_key_ref(self._inner, context._inner)
+            return _rw.save_secret_key_ref(self._inner, _ref_ctx(context, "SecretKey"))
         return _ser.save_secret_key(self._inner)
 
     def load(self, raw: bytes, context: Optional[SEALContext] = None):
@@ -396,7 +406,7 @@ class PublicKey(_Wrapper):
     def save(self, context: Optional[SEALContext] = None,
              wire: str = "native") -> bytes:
         if wire == "troy":
-            return _rw.save_public_key_ref(self._inner, context._inner)
+            return _rw.save_public_key_ref(self._inner, _ref_ctx(context, "PublicKey"))
         return _ser.save_public_key(self._inner)
 
     def load(self, raw: bytes, context: Optional[SEALContext] = None):
@@ -427,7 +437,7 @@ class RelinKeys(_Wrapper):
     def save(self, context: Optional[SEALContext] = None,
              wire: str = "native") -> bytes:
         if wire == "troy":
-            return _rw.save_relin_keys_ref(self._inner, context._inner)
+            return _rw.save_relin_keys_ref(self._inner, _ref_ctx(context, "RelinKeys"))
         return _ser.save_relin_keys(self._inner)
 
     def load(self, raw: bytes, context: Optional[SEALContext] = None):
@@ -447,7 +457,7 @@ class GaloisKeys(_Wrapper):
     def save(self, context: Optional[SEALContext] = None,
              wire: str = "native") -> bytes:
         if wire == "troy":
-            return _rw.save_galois_keys_ref(self._inner, context._inner)
+            return _rw.save_galois_keys_ref(self._inner, _ref_ctx(context, "GaloisKeys"))
         return _ser.save_galois_keys(self._inner)
 
     def load(self, raw: bytes, context: Optional[SEALContext] = None):

@@ -1228,6 +1228,15 @@ class Evaluator:
         import os as _os
         schedule = _os.environ.get("TROY_HOIST_SCHEDULE") or (
             "vmap" if jax.default_backend() == "cpu" else "dispatch")
+        if schedule == "dispatch" and \
+                len(elts) < self.DISPATCH_HOIST_MIN_M:
+            # below the crossover the extra decompose dispatch outweighs
+            # the shared-NTT saving (measured on the v5e: m=1 0.89x,
+            # m=2 0.88x, m=4 1.02x, m=16 1.39x — HOIST_r05.json
+            # tpu_n16384_dispatch rows), so small batches run the fused
+            # single-automorphism program per element — checked BEFORE
+            # building pre-permuted keys, which the fused path never uses
+            return [self.apply_galois(ct, e, galois_keys) for e in elts]
         keys_pp = [self._prepermuted_key(galois_keys, elt, n)
                    for elt in elts]
         perms = [galois_util.ntt_permutation_dev(n, elt) for elt in elts]
@@ -1238,14 +1247,6 @@ class Evaluator:
                      for elt in elts]
             srcs = [p[0] for p in pairs]
             keeps = [p[1] for p in pairs]
-        if schedule == "dispatch" and \
-                len(elts) < self.DISPATCH_HOIST_MIN_M:
-            # below the crossover the extra decompose dispatch outweighs
-            # the shared-NTT saving (measured on the v5e: m=1 0.89x,
-            # m=2 0.88x, m=4 1.02x, m=16 1.39x — HOIST_r05.json
-            # tpu_n16384_dispatch rows), so small batches run the fused
-            # single-automorphism program per element
-            return [self.apply_galois(ct, e, galois_keys) for e in elts]
         if schedule == "dispatch":
             t_hat = _hoisted_decompose_core(ct.data, cd, key_cd,
                                             ct.is_ntt_form)

@@ -134,24 +134,29 @@ class BaseConverter:
 
 
 def _draw_aux_primes(factor: int, bit_size: int, forbidden: set,
-                     bound: int) -> Tuple[int, int, Tuple[int, ...]]:
+                     bound: int, t: int = 0
+                     ) -> Tuple[int, int, Tuple[int, ...]]:
     """Draw auxiliary primes of `bit_size` bits congruent 1 mod `factor`,
-    skipping `forbidden` values (the q primes and t): first m_sk, then
-    gamma, then B primes until prod(B) * m_sk > bound (exact product)."""
+    skipping `forbidden` values (the q primes) and any prime FACTOR of
+    `t` (a composite plain modulus can contain a bit_size-bit prime —
+    sharing it would make gamma/m_sk non-invertible mod t): first m_sk,
+    then gamma, then B primes until prod(B) * m_sk > bound (exact
+    product); B always gets at least one prime (the BEHZ converters
+    need a non-empty B base even when m_sk alone exceeds the bound)."""
     count = 8
     while True:
         cand = [p for p in numth.get_primes(factor, bit_size, count)
-                if p not in forbidden]
+                if p not in forbidden and (t == 0 or t % p != 0)]
         if len(cand) >= 3:
             m_sk, gamma = cand[0], cand[1]
             b_primes = []
             prod = m_sk
             for p in cand[2:]:
-                if prod > bound:
+                if b_primes and prod > bound:
                     break
                 b_primes.append(p)
                 prod *= p
-            if prod > bound:
+            if b_primes and prod > bound:
                 return m_sk, gamma, tuple(b_primes)
         count *= 2
         if count > 4096:   # ~> any real base; get_primes raises first anyway
@@ -247,7 +252,7 @@ class RnsTool:
             m_sk, gamma, b_primes = _draw_aux_primes(
                 2 * self.n, b_bits, forbidden,
                 # prod(B)*m_sk must exceed 2^33 * t * Q (t=1 for CKKS)
-                bound=(max(t, 1) * q.base_prod) << 33)
+                bound=(max(t, 1) * q.base_prod) << 33, t=t)
             base_B_size = len(b_primes)
 
         base_B = RnsBase(tuple(Modulus(p) for p in b_primes))
